@@ -1,0 +1,205 @@
+"""SE(3) helpers with the reference's exact conventions (host-side numpy).
+
+The reference deliberately avoids ``Eigen::eulerAngles`` and uses a custom
+ZYX extraction (/root/reference/src/Utility.cpp:21-41, and the float copy at
+/root/reference/BatchTopPartRegistration.cpp:290-309).  Pose interpolation is
+linear position + quaternion slerp with euler re-derived through that same
+extraction (/root/reference/include/Utility.h:51-71).  These run on the host
+(pose tables are tiny); device-side rigid transforms live in
+``pctpu.ops.transform``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def is_rotation_matrix(r: np.ndarray, err: float = 1e-4) -> bool:
+    """||R Rᵀ − I||_F < err (/root/reference/src/Utility.cpp:11-19)."""
+    r = np.asarray(r, np.float64)
+    return bool(np.linalg.norm(r @ r.T - np.eye(3)) < err)
+
+
+def rotation_matrix_to_euler_angles(r: np.ndarray) -> np.ndarray:
+    """Custom euler extraction returning (roll, pitch, yaw).
+
+    Matches /root/reference/src/Utility.cpp:21-41: sy = hypot(R00, R10); in the
+    non-singular branch roll = atan2(R21, R22), pitch = atan2(-R20, sy),
+    yaw = atan2(R10, R00); singular branch (sy < 1e-6) uses
+    roll = atan2(-R12, R11), yaw = 0.
+    """
+    r = np.asarray(r, np.float64)
+    sy = np.sqrt(r[0, 0] * r[0, 0] + r[1, 0] * r[1, 0])
+    if sy >= 1e-6:
+        x = np.arctan2(r[2, 1], r[2, 2])
+        y = np.arctan2(-r[2, 0], sy)
+        z = np.arctan2(r[1, 0], r[0, 0])
+    else:
+        x = np.arctan2(-r[1, 2], r[1, 1])
+        y = np.arctan2(-r[2, 0], sy)
+        z = 0.0
+    return np.array([x, y, z], np.float64)
+
+
+def euler_zyx_to_matrix(roll: float, pitch: float, yaw: float) -> np.ndarray:
+    """R = Rz(yaw) @ Ry(pitch) @ Rx(roll), the composition used by the Oxford
+    selector (/root/reference/OxfordPointCloudSelect.cpp:253-256)."""
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]], np.float64)
+    ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]], np.float64)
+    rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]], np.float64)
+    return rz @ ry @ rx
+
+
+def yaw_rotation_4x4(yaw_rad: float) -> np.ndarray:
+    """Homogeneous pure-yaw rotation, the ICP initial guess construction
+    (/root/reference/BatchTopPartRegistration.cpp:416-422)."""
+    t = np.eye(4, dtype=np.float64)
+    c, s = np.cos(yaw_rad), np.sin(yaw_rad)
+    t[0, 0], t[0, 1] = c, -s
+    t[1, 0], t[1, 1] = s, c
+    return t
+
+
+def quat_from_matrix(r: np.ndarray) -> np.ndarray:
+    """Rotation matrix → unit quaternion (w, x, y, z), Shepperd's method.
+
+    Matches Eigen's ``Quaterniond(Matrix3d)`` up to the global sign, which is
+    irrelevant because slerp below takes the shortest path.
+    """
+    r = np.asarray(r, np.float64)
+    tr = r[0, 0] + r[1, 1] + r[2, 2]
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2.0
+        w = 0.25 * s
+        x = (r[2, 1] - r[1, 2]) / s
+        y = (r[0, 2] - r[2, 0]) / s
+        z = (r[1, 0] - r[0, 1]) / s
+    elif r[0, 0] > r[1, 1] and r[0, 0] > r[2, 2]:
+        s = np.sqrt(1.0 + r[0, 0] - r[1, 1] - r[2, 2]) * 2.0
+        w = (r[2, 1] - r[1, 2]) / s
+        x = 0.25 * s
+        y = (r[0, 1] + r[1, 0]) / s
+        z = (r[0, 2] + r[2, 0]) / s
+    elif r[1, 1] > r[2, 2]:
+        s = np.sqrt(1.0 + r[1, 1] - r[0, 0] - r[2, 2]) * 2.0
+        w = (r[0, 2] - r[2, 0]) / s
+        x = (r[0, 1] + r[1, 0]) / s
+        y = 0.25 * s
+        z = (r[1, 2] + r[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + r[2, 2] - r[0, 0] - r[1, 1]) * 2.0
+        w = (r[1, 0] - r[0, 1]) / s
+        x = (r[0, 2] + r[2, 0]) / s
+        y = (r[1, 2] + r[2, 1]) / s
+        z = 0.25 * s
+    q = np.array([w, x, y, z], np.float64)
+    return q / np.linalg.norm(q)
+
+
+def quat_to_matrix(q: np.ndarray) -> np.ndarray:
+    """Unit quaternion (w, x, y, z) → rotation matrix."""
+    w, x, y, z = np.asarray(q, np.float64)
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ],
+        np.float64,
+    )
+
+
+def quat_slerp(q0: np.ndarray, q1: np.ndarray, t: float) -> np.ndarray:
+    """Shortest-path slerp, matching ``Eigen::Quaternion::slerp`` semantics
+    (used by Pose6f::interpolate, /root/reference/include/Utility.h:59)."""
+    q0 = np.asarray(q0, np.float64)
+    q1 = np.asarray(q1, np.float64)
+    d = float(np.dot(q0, q1))
+    abs_d = abs(d)
+    one_minus_eps = 1.0 - np.finfo(np.float64).eps
+    if abs_d >= one_minus_eps:
+        scale0, scale1 = 1.0 - t, t
+    else:
+        theta = np.arccos(abs_d)
+        sin_theta = np.sin(theta)
+        scale0 = np.sin((1.0 - t) * theta) / sin_theta
+        scale1 = np.sin(t * theta) / sin_theta
+    if d < 0:
+        scale1 = -scale1
+    q = scale0 * q0 + scale1 * q1
+    return q / np.linalg.norm(q)
+
+
+@dataclasses.dataclass
+class Pose6f:
+    """6-DoF pose record (/root/reference/include/Utility.h:38-77).
+
+    Positions/angles are kept as float32 to match the reference struct; the
+    rotation matrix and quaternion stay float64 like the Eigen doubles.
+    """
+
+    x: float
+    y: float
+    z: float
+    roll: float
+    pitch: float
+    yaw: float
+    rotation_matrix: np.ndarray
+    rotation_quat: np.ndarray  # (w, x, y, z)
+
+    @classmethod
+    def from_matrix(cls, rotation: np.ndarray, translation: np.ndarray) -> "Pose6f":
+        euler = rotation_matrix_to_euler_angles(rotation)
+        return cls(
+            x=np.float32(translation[0]),
+            y=np.float32(translation[1]),
+            z=np.float32(translation[2]),
+            roll=np.float32(euler[0]),
+            pitch=np.float32(euler[1]),
+            yaw=np.float32(euler[2]),
+            rotation_matrix=np.asarray(rotation, np.float64),
+            rotation_quat=quat_from_matrix(rotation),
+        )
+
+    def position(self) -> np.ndarray:
+        return np.array([self.x, self.y, self.z], np.float32)
+
+
+def interpolate_pose(pose_a: Pose6f, pose_b: Pose6f, ratio: float) -> Pose6f:
+    """Linear position + quaternion slerp, euler re-derived via the custom
+    extraction (/root/reference/include/Utility.h:51-71).
+
+    The position mix is computed in float32 like the reference fields.
+    """
+    ratio32 = np.float32(ratio)
+    one_minus = np.float32(1.0) - ratio32
+    x = np.float32(pose_a.x) * one_minus + np.float32(pose_b.x) * ratio32
+    y = np.float32(pose_a.y) * one_minus + np.float32(pose_b.y) * ratio32
+    z = np.float32(pose_a.z) * one_minus + np.float32(pose_b.z) * ratio32
+    quat = quat_slerp(pose_a.rotation_quat, pose_b.rotation_quat, ratio)
+    rotation = quat_to_matrix(quat)
+    euler = rotation_matrix_to_euler_angles(rotation)
+    return Pose6f(
+        x=x,
+        y=y,
+        z=z,
+        roll=np.float32(euler[0]),
+        pitch=np.float32(euler[1]),
+        yaw=np.float32(euler[2]),
+        rotation_matrix=rotation,
+        rotation_quat=quat,
+    )
+
+
+def pose_distance(pose_a: Pose6f, pose_b: Pose6f) -> float:
+    """Euclidean 3-D pose distance in float32
+    (/root/reference/src/Utility.cpp:43-49)."""
+    dx = np.float32(pose_a.x) - np.float32(pose_b.x)
+    dy = np.float32(pose_a.y) - np.float32(pose_b.y)
+    dz = np.float32(pose_a.z) - np.float32(pose_b.z)
+    return float(np.sqrt(dx * dx + dy * dy + dz * dz, dtype=np.float32))

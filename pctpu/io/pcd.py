@@ -1,0 +1,237 @@
+"""PCL-compatible PCD reader/writer (binary + ascii) for point clouds.
+
+The reference's on-disk cloud format is ``pcl::io::savePCDFileBinary`` of the
+custom ``pcl::PointXYZIRCT`` point (/root/reference/BatchMultiBevGen.h:44-66).
+PCL's templated binary writer packs the registered fields *without* struct
+padding, so one XYZIRCT point is 26 bytes on disk:
+
+  FIELDS x y z intensity row col t label
+  SIZE   4 4 4 4 2 2 4 2
+  TYPE   F F F F U U U I
+  COUNT  1 1 1 1 1 1 1 1
+
+This module is generic over field specs so it also reads plain XYZ / XYZI /
+XYZIRCL clouds.  Data is exchanged as a dict of numpy arrays (one per field),
+which converts to/from :class:`pctpu.cloud.Cloud` via the helpers at the
+bottom.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io as _io
+
+import numpy as np
+
+from pctpu.cloud import Cloud, make_cloud
+
+_TYPE_MAP = {
+    ("F", 4): np.float32,
+    ("F", 8): np.float64,
+    ("U", 1): np.uint8,
+    ("U", 2): np.uint16,
+    ("U", 4): np.uint32,
+    ("U", 8): np.uint64,
+    ("I", 1): np.int8,
+    ("I", 2): np.int16,
+    ("I", 4): np.int32,
+    ("I", 8): np.int64,
+}
+_INV_TYPE_MAP = {v: k for k, v in _TYPE_MAP.items()}
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldSpec:
+    name: str
+    dtype: type
+    count: int = 1
+
+
+# The reference's custom point (/root/reference/BatchMultiBevGen.h:56-66).
+XYZIRCT_FIELDS = (
+    FieldSpec("x", np.float32),
+    FieldSpec("y", np.float32),
+    FieldSpec("z", np.float32),
+    FieldSpec("intensity", np.float32),
+    FieldSpec("row", np.uint16),
+    FieldSpec("col", np.uint16),
+    FieldSpec("t", np.uint32),
+    FieldSpec("label", np.int16),
+)
+
+XYZ_FIELDS = (
+    FieldSpec("x", np.float32),
+    FieldSpec("y", np.float32),
+    FieldSpec("z", np.float32),
+)
+
+
+def _structured_dtype(fields: tuple[FieldSpec, ...]) -> np.dtype:
+    return np.dtype(
+        [(f.name, f.dtype) if f.count == 1 else (f.name, f.dtype, (f.count,)) for f in fields],
+    )
+
+
+def write_pcd(
+    path: str,
+    data: dict[str, np.ndarray],
+    fields: tuple[FieldSpec, ...] = XYZIRCT_FIELDS,
+    binary: bool = True,
+    width: int | None = None,
+    height: int = 1,
+) -> None:
+    """Write a PCD file with a PCL-identical header and packed binary body."""
+    n = len(next(iter(data.values())))
+    if width is None:
+        width = n
+    if width * height != n:
+        raise ValueError(f"width*height = {width * height} != {n} points")
+
+    names = " ".join(f.name for f in fields)
+    sizes = " ".join(str(np.dtype(f.dtype).itemsize) for f in fields)
+    types = " ".join(_INV_TYPE_MAP[np.dtype(f.dtype).type][0] for f in fields)
+    counts = " ".join(str(f.count) for f in fields)
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\n"
+        f"FIELDS {names}\n"
+        f"SIZE {sizes}\n"
+        f"TYPE {types}\n"
+        f"COUNT {counts}\n"
+        f"WIDTH {width}\n"
+        f"HEIGHT {height}\n"
+        "VIEWPOINT 0 0 0 1 0 0 0\n"
+        f"POINTS {n}\n"
+        f"DATA {'binary' if binary else 'ascii'}\n"
+    )
+
+    rec = np.empty(n, _structured_dtype(fields))
+    for f in fields:
+        arr = np.asarray(data[f.name])
+        rec[f.name] = arr.astype(f.dtype, copy=False)
+
+    with open(path, "wb") as fh:
+        fh.write(header.encode("ascii"))
+        if binary:
+            fh.write(rec.tobytes())
+        else:
+            out = _io.StringIO()
+            for row in rec:
+                out.write(" ".join(_ascii_value(v) for v in row))
+                out.write("\n")
+            fh.write(out.getvalue().encode("ascii"))
+
+
+def _ascii_value(v) -> str:
+    if isinstance(v, (np.floating, float)):
+        return repr(float(np.float32(v)))
+    return str(int(v))
+
+
+def read_pcd(path: str) -> tuple[dict[str, np.ndarray], dict]:
+    """Read a PCD file (binary or ascii).
+
+    Returns (fields dict, header dict with WIDTH/HEIGHT/POINTS/FIELDS...).
+    """
+    with open(path, "rb") as fh:
+        blob = fh.read()
+
+    header: dict[str, object] = {}
+    pos = 0
+    while True:
+        eol = blob.index(b"\n", pos)
+        line = blob[pos:eol].decode("ascii", "replace").strip()
+        pos = eol + 1
+        if line.startswith("#") or not line:
+            continue
+        key, _, rest = line.partition(" ")
+        header[key] = rest
+        if key == "DATA":
+            break
+
+    names = str(header["FIELDS"]).split()
+    sizes = [int(s) for s in str(header["SIZE"]).split()]
+    types = str(header["TYPE"]).split()
+    counts = [int(c) for c in str(header.get("COUNT", " ".join("1" * len(names)))).split()]
+    n = int(header["POINTS"])
+    fields = tuple(
+        FieldSpec(nm, _TYPE_MAP[(tp, sz)], ct)
+        for nm, sz, tp, ct in zip(names, sizes, types, counts)
+    )
+    dtype = _structured_dtype(fields)
+
+    mode = str(header["DATA"])
+    if mode == "binary":
+        rec = np.frombuffer(blob, dtype, count=n, offset=pos)
+    elif mode == "ascii":
+        text = blob[pos:].decode("ascii")
+        flat = np.loadtxt(_io.StringIO(text), dtype=np.float64, ndmin=2)
+        rec = np.empty(n, dtype)
+        col = 0
+        for f in fields:
+            w = f.count
+            vals = flat[:, col : col + w]
+            rec[f.name] = (vals[:, 0] if w == 1 else vals).astype(f.dtype)
+            col += w
+    else:
+        raise ValueError(f"unsupported PCD DATA mode: {mode}")
+
+    out = {f.name: np.ascontiguousarray(rec[f.name]) for f in fields}
+    meta = {
+        "width": int(header["WIDTH"]),
+        "height": int(header["HEIGHT"]),
+        "points": n,
+        "fields": fields,
+    }
+    return out, meta
+
+
+# ---------------------------------------------------------------------------
+# Cloud <-> PCD adapters
+
+
+def cloud_to_pcd_dict(cloud: Cloud, num_points: int | None = None) -> dict[str, np.ndarray]:
+    """Convert a device Cloud to host XYZIRCT field arrays (first
+    ``num_points`` slots; defaults to the cloud's count)."""
+    if num_points is None:
+        num_points = int(cloud.count)
+    xyz = np.asarray(cloud.xyz)[:num_points]
+    return {
+        "x": xyz[:, 0],
+        "y": xyz[:, 1],
+        "z": xyz[:, 2],
+        "intensity": np.asarray(cloud.intensity)[:num_points],
+        "row": np.asarray(cloud.row)[:num_points].astype(np.uint16),
+        "col": np.asarray(cloud.col)[:num_points].astype(np.uint16),
+        "t": np.asarray(cloud.t)[:num_points],
+        "label": np.asarray(cloud.label)[:num_points].astype(np.int16),
+    }
+
+
+def save_cloud_pcd(path: str, cloud: Cloud, num_points: int | None = None) -> None:
+    write_pcd(path, cloud_to_pcd_dict(cloud, num_points))
+
+
+def load_cloud_pcd(path: str, capacity: int | None = None) -> Cloud:
+    """Load a PCD into a Cloud, padding to ``capacity`` if given.
+
+    Missing XYZIRCT fields default to zero (e.g. plain XYZ files)."""
+    data, meta = read_pcd(path)
+    n = meta["points"]
+    xyz = np.stack([data["x"], data["y"], data["z"]], axis=1)
+
+    def _get(name, dtype):
+        if name in data:
+            # int16 labels must sign-extend into int32.
+            return data[name].astype(dtype)
+        return np.zeros((n,), dtype)
+
+    return make_cloud(
+        xyz,
+        intensity=_get("intensity", np.float32),
+        row=_get("row", np.int32),
+        col=_get("col", np.int32),
+        t=_get("t", np.uint32),
+        label=_get("label", np.int32),
+        capacity=capacity,
+    )

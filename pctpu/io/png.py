@@ -1,0 +1,84 @@
+"""Minimal dependency-free PNG writer for 8-bit grayscale BEV images.
+
+The reference writes BEV layers with ``cv::imwrite`` (e.g.
+/root/reference/BatchMultiBevGen.cpp:318).  PNG bytes differ between encoders
+(compression strategy), but the decoded pixels are what downstream consumers
+read, and those are bit-identical (verified against cv2.imdecode in
+tests/test_png.py).  Float matrices are first converted with OpenCV's
+documented CV_32F→CV_8U fallback (saturate_cast), matching the reference's
+imwrite of CV_32F BEVs (/root/reference/BatchCloudManip.cpp:238).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from pctpu.ops.rounding import cv_saturate_u8
+
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_gray_png(img: np.ndarray, compress_level: int = 6) -> bytes:
+    """Encode a 2-D array as an 8-bit grayscale PNG.
+
+    Non-uint8 inputs are converted with OpenCV saturate_cast semantics.
+    """
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise ValueError(f"expected 2-D image, got shape {img.shape}")
+    if img.dtype != np.uint8:
+        img = cv_saturate_u8(img)
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = np.empty((h, w + 1), np.uint8)
+    raw[:, 0] = 0  # filter type 0 (None) per scanline
+    raw[:, 1:] = img
+    idat = zlib.compress(raw.tobytes(), compress_level)
+    return _PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def write_gray_png(path: str, img: np.ndarray, compress_level: int = 6) -> None:
+    with open(path, "wb") as f:
+        f.write(encode_gray_png(img, compress_level))
+
+
+def decode_gray_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit grayscale PNG produced by :func:`encode_gray_png`
+    (filter-0 scanlines only; used by round-trip tests and golden checks)."""
+    if data[:8] != _PNG_SIGNATURE:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or color != 0:
+                raise ValueError("only 8-bit grayscale supported")
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, w + 1)
+    if np.any(raw[:, 0] != 0):
+        raise ValueError("only filter-0 scanlines supported")
+    return raw[:, 1:].copy()
+
+
+def read_gray_png(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        return decode_gray_png(f.read())

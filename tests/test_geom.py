@@ -1,0 +1,101 @@
+import numpy as np
+import pytest
+
+from pctpu.geom import (
+    Pose6f,
+    euler_zyx_to_matrix,
+    interpolate_pose,
+    is_rotation_matrix,
+    pose_distance,
+    quat_from_matrix,
+    quat_slerp,
+    quat_to_matrix,
+    rotation_matrix_to_euler_angles,
+    yaw_rotation_4x4,
+)
+
+
+def random_rotation(rng):
+    q = rng.standard_normal(4)
+    q /= np.linalg.norm(q)
+    return quat_to_matrix(q)
+
+
+def test_euler_round_trip_zyx():
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        roll, pitch, yaw = rng.uniform(-np.pi, np.pi, 3)
+        pitch = np.clip(pitch, -np.pi / 2 + 0.05, np.pi / 2 - 0.05)
+        r = euler_zyx_to_matrix(roll, pitch, yaw)
+        e = rotation_matrix_to_euler_angles(r)
+        # reference extraction returns (roll, pitch, yaw)
+        np.testing.assert_allclose(e, [roll, pitch, yaw], atol=1e-9)
+
+
+def test_euler_singular_branch():
+    # pitch = +90° → sy ≈ 0 → yaw forced to 0 (Utility.cpp:35-39)
+    r = euler_zyx_to_matrix(0.3, np.pi / 2, 0.7)
+    e = rotation_matrix_to_euler_angles(r)
+    assert e[2] == 0.0
+
+
+def test_is_rotation_matrix():
+    assert is_rotation_matrix(np.eye(3))
+    assert not is_rotation_matrix(np.eye(3) * 1.01)
+
+
+def test_quat_matrix_round_trip():
+    rng = np.random.default_rng(1)
+    for _ in range(100):
+        r = random_rotation(rng)
+        q = quat_from_matrix(r)
+        np.testing.assert_allclose(quat_to_matrix(q), r, atol=1e-12)
+
+
+def test_slerp_endpoints_and_midpoint():
+    rng = np.random.default_rng(2)
+    q0 = quat_from_matrix(random_rotation(rng))
+    q1 = quat_from_matrix(random_rotation(rng))
+    np.testing.assert_allclose(quat_slerp(q0, q1, 0.0), q0, atol=1e-12)
+    # endpoint may be ±q1 (same rotation)
+    qe = quat_slerp(q0, q1, 1.0)
+    assert min(np.linalg.norm(qe - q1), np.linalg.norm(qe + q1)) < 1e-12
+    # midpoint is unit norm and equidistant in angle
+    qm = quat_slerp(q0, q1, 0.5)
+    assert abs(np.linalg.norm(qm) - 1) < 1e-12
+    a0 = abs(np.dot(qm, q0))
+    a1 = abs(np.dot(qm, q1))
+    np.testing.assert_allclose(a0, a1, atol=1e-9)
+
+
+def test_slerp_shortest_path():
+    q0 = np.array([1.0, 0, 0, 0])
+    q1 = -quat_from_matrix(euler_zyx_to_matrix(0, 0, 0.2))  # negated: same rotation
+    qm = quat_slerp(q0, q1, 0.5)
+    r = quat_to_matrix(qm)
+    e = rotation_matrix_to_euler_angles(r)
+    np.testing.assert_allclose(e[2], 0.1, atol=1e-9)
+
+
+def test_interpolate_pose_matches_reference_semantics():
+    pa = Pose6f.from_matrix(euler_zyx_to_matrix(0, 0, 0.0), np.array([0.0, 0.0, 0.0]))
+    pb = Pose6f.from_matrix(euler_zyx_to_matrix(0, 0, 1.0), np.array([2.0, 4.0, 6.0]))
+    pm = interpolate_pose(pa, pb, 0.25)
+    np.testing.assert_allclose([pm.x, pm.y, pm.z], [0.5, 1.0, 1.5], rtol=1e-6)
+    np.testing.assert_allclose(pm.yaw, 0.25, atol=1e-6)
+    # ratio 1 returns the end pose exactly
+    pe = interpolate_pose(pa, pb, 1.0)
+    np.testing.assert_allclose([pe.x, pe.y, pe.z], [2, 4, 6], rtol=1e-6)
+    np.testing.assert_allclose(pe.yaw, 1.0, atol=1e-6)
+
+
+def test_pose_distance():
+    pa = Pose6f.from_matrix(np.eye(3), np.array([0.0, 0.0, 0.0]))
+    pb = Pose6f.from_matrix(np.eye(3), np.array([3.0, 4.0, 0.0]))
+    assert pose_distance(pa, pb) == pytest.approx(5.0)
+
+
+def test_yaw_rotation_4x4():
+    t = yaw_rotation_4x4(np.pi / 2)
+    p = t @ np.array([1.0, 0, 0, 1])
+    np.testing.assert_allclose(p[:3], [0, 1, 0], atol=1e-12)

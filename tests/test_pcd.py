@@ -1,0 +1,113 @@
+import numpy as np
+
+from pctpu.cloud import make_cloud
+from pctpu.io.pcd import (
+    XYZIRCT_FIELDS,
+    cloud_to_pcd_dict,
+    load_cloud_pcd,
+    read_pcd,
+    save_cloud_pcd,
+    write_pcd,
+)
+
+
+def _random_fields(n, rng):
+    return {
+        "x": rng.standard_normal(n).astype(np.float32),
+        "y": rng.standard_normal(n).astype(np.float32),
+        "z": rng.standard_normal(n).astype(np.float32),
+        "intensity": rng.standard_normal(n).astype(np.float32),
+        "row": rng.integers(0, 64, n).astype(np.uint16),
+        "col": rng.integers(0, 2083, n).astype(np.uint16),
+        "t": rng.integers(0, 2**31, n).astype(np.uint32),
+        "label": rng.integers(-2, 3, n).astype(np.int16),
+    }
+
+
+def test_binary_round_trip(tmp_path):
+    rng = np.random.default_rng(0)
+    data = _random_fields(1000, rng)
+    path = str(tmp_path / "c.pcd")
+    write_pcd(path, data)
+    back, meta = read_pcd(path)
+    assert meta["points"] == 1000
+    assert meta["width"] == 1000 and meta["height"] == 1
+    for k, v in data.items():
+        np.testing.assert_array_equal(back[k], v)
+
+
+def test_binary_layout_is_packed_26_bytes(tmp_path):
+    # PCL's templated writeBinary packs registered fields without padding:
+    # 4+4+4+4+2+2+4+2 = 26 bytes per XYZIRCT point.
+    data = _random_fields(10, np.random.default_rng(1))
+    path = str(tmp_path / "c.pcd")
+    write_pcd(path, data)
+    blob = open(path, "rb").read()
+    body = blob[blob.index(b"DATA binary\n") + len(b"DATA binary\n") :]
+    assert len(body) == 10 * 26
+    # first point bytes: x,y,z,intensity f32 | row,col u16 | t u32 | label i16
+    import struct
+
+    x, y, z, i = struct.unpack_from("<ffff", body, 0)
+    row, col = struct.unpack_from("<HH", body, 16)
+    (t,) = struct.unpack_from("<I", body, 20)
+    (label,) = struct.unpack_from("<h", body, 24)
+    assert x == data["x"][0] and y == data["y"][0] and z == data["z"][0]
+    assert i == data["intensity"][0]
+    assert row == data["row"][0] and col == data["col"][0]
+    assert t == data["t"][0] and label == data["label"][0]
+
+
+def test_header_matches_pcl_format(tmp_path):
+    data = _random_fields(5, np.random.default_rng(2))
+    path = str(tmp_path / "c.pcd")
+    write_pcd(path, data)
+    header = open(path, "rb").read().split(b"DATA binary\n")[0].decode()
+    assert header == (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\n"
+        "FIELDS x y z intensity row col t label\n"
+        "SIZE 4 4 4 4 2 2 4 2\n"
+        "TYPE F F F F U U U I\n"
+        "COUNT 1 1 1 1 1 1 1 1\n"
+        "WIDTH 5\n"
+        "HEIGHT 1\n"
+        "VIEWPOINT 0 0 0 1 0 0 0\n"
+        "POINTS 5\n"
+    )
+
+
+def test_ascii_round_trip(tmp_path):
+    rng = np.random.default_rng(3)
+    data = _random_fields(50, rng)
+    path = str(tmp_path / "c.pcd")
+    write_pcd(path, data, binary=False)
+    back, _ = read_pcd(path)
+    for k, v in data.items():
+        np.testing.assert_array_equal(back[k], v)
+
+
+def test_cloud_adapter_round_trip(tmp_path):
+    rng = np.random.default_rng(4)
+    xyz = rng.standard_normal((100, 3)).astype(np.float32)
+    cloud = make_cloud(
+        xyz,
+        intensity=rng.standard_normal(100).astype(np.float32),
+        label=np.full(100, -2, np.int32),
+    )
+    path = str(tmp_path / "c.pcd")
+    save_cloud_pcd(path, cloud)
+    back = load_cloud_pcd(path)
+    np.testing.assert_allclose(np.asarray(back.xyz), xyz, rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(back.label), np.full(100, -2))
+    assert int(back.count) == 100
+
+
+def test_negative_label_sign_extension(tmp_path):
+    # int16 -2 on disk must come back as int32 -2, not 65534.
+    data = _random_fields(3, np.random.default_rng(5))
+    data["label"] = np.array([-2, 0, 1], np.int16)
+    path = str(tmp_path / "c.pcd")
+    write_pcd(path, data)
+    cloud = load_cloud_pcd(path)
+    np.testing.assert_array_equal(np.asarray(cloud.label), [-2, 0, 1])
