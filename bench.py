@@ -1,0 +1,124 @@
+"""Benchmark: HDL-64E multi-BEV preprocessing throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "clouds/s", "vs_baseline": N}
+
+The baseline is self-measured (the reference publishes no numbers,
+BASELINE.md): a single-core C++ re-implementation of the same per-point
+algorithm (native/baseline_bev.cpp) is built and timed on this machine, and
+vs_baseline = TPU clouds/s ÷ single-core clouds/s.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+N_POINTS = 120_000
+BATCH = 8
+WARMUP_BATCHES = 2
+BENCH_BATCHES = 6
+BASELINE_CLOUDS = 10
+
+
+def measure_baseline() -> float:
+    """Single-core C++ ms/cloud (same algorithm, per-point loops)."""
+    exe = os.path.join(REPO, "native", "baseline_bev")
+    src = os.path.join(REPO, "native", "baseline_bev.cpp")
+    if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O2", "-std=c++14", "-o", exe, src],
+            check=True,
+            cwd=REPO,
+        )
+    out = subprocess.run(
+        [exe, str(BASELINE_CLOUDS), str(N_POINTS)],
+        check=True,
+        capture_output=True,
+        text=True,
+    ).stdout
+    return float(json.loads(out)["ms_per_cloud"])
+
+
+def synth_batch(params, batch: int, n_points: int, seed: int):
+    import jax.numpy as jnp
+
+    from pctpu.cloud import Cloud
+
+    rng = np.random.default_rng(seed)
+    g = params.grid_size
+    rangev = rng.uniform(3, 100, (batch, g)).astype(np.float32)
+    az = rng.uniform(0, 2 * np.pi, (batch, g)).astype(np.float32)
+    ground = rng.random((batch, g)) < 0.5
+    z = np.where(
+        ground,
+        rng.uniform(-2.0, -1.8, (batch, g)),
+        rng.uniform(-1.0, 6.0, (batch, g)),
+    ).astype(np.float32)
+    xyz = np.stack([rangev * np.cos(az), rangev * np.sin(az), z], axis=-1)
+    mask = np.broadcast_to(np.arange(g)[None, :] < n_points, (batch, g))
+    return Cloud(
+        xyz=jnp.asarray(xyz * mask[..., None]),
+        intensity=jnp.asarray(rng.random((batch, g)).astype(np.float32) * mask),
+        row=jnp.asarray(rng.integers(0, params.n_scan, (batch, g)).astype(np.int32) * mask),
+        col=jnp.asarray(
+            rng.integers(0, params.horizon_scan, (batch, g)).astype(np.int32) * mask
+        ),
+        t=jnp.zeros((batch, g), jnp.uint32),
+        label=jnp.asarray(np.where(mask, -2, 0).astype(np.int32)),
+        count=jnp.full((batch,), n_points, jnp.int32),
+    )
+
+
+def measure_tpu() -> float:
+    """Steady-state clouds/sec of the fused preprocess+BEV kernel."""
+    import jax
+
+    from pctpu.config import get_sensor_params
+    from pctpu.ops.preprocess import preprocess_batch
+
+    params = get_sensor_params("HDL_64E")
+    batches = [synth_batch(params, BATCH, N_POINTS, seed) for seed in range(3)]
+
+    def run(b):
+        return preprocess_batch(b, params)
+
+    # warmup/compile
+    for i in range(WARMUP_BATCHES):
+        out = run(batches[i % len(batches)])
+        jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for i in range(BENCH_BATCHES):
+        out = run(batches[i % len(batches)])
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return BENCH_BATCHES * BATCH / dt
+
+
+def main() -> int:
+    baseline_ms = measure_baseline()
+    baseline_cps = 1000.0 / baseline_ms
+    tpu_cps = measure_tpu()
+    print(
+        json.dumps(
+            {
+                "metric": "hdl64e_multibev_clouds_per_sec",
+                "value": round(tpu_cps, 3),
+                "unit": "clouds/s",
+                "vs_baseline": round(tpu_cps / baseline_cps, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,42 @@
+"""CLI: batch_multi_bev_gen — argv contract of
+/root/reference/BatchMultiBevGen.cpp:664-689."""
+
+import sys
+
+from pctpu.cli._common import split_args, usage_exit
+from pctpu.pipelines.multi_bev import run_multi_bev
+
+USAGE = """\
+Usage: batch_multi_bev_gen [keyframes_root_dir] [sensor_type]
+
+[keyframes_root_dir] should be organized as follows:
+[keyframes_root_dir]
+├ keyframe_point_cloud/ <- folder for selected point clouds in pcd format for each frame
+├ keyframe_pose.csv <- 6-DoF pose for each frame
+└ keyframe_pose_format.csv <- 6-DoF pose format description
+
+[sensor_type] could be HDL_32E, HDL_64E or OS1_64.
+
+This binary generates ground-removed point clouds, single & multi layer BEV
+images and creates geometric distance-based labels for each point cloud.
+
+Extensions: --resume  --batch-size=N  --no-pngs
+"""
+
+
+def main(argv=None) -> int:
+    pos, kw = split_args(sys.argv[1:] if argv is None else argv)
+    if len(pos) < 2:
+        usage_exit(USAGE)
+    run_multi_bev(
+        pos[0],
+        pos[1],
+        batch_size=int(kw.get("batch_size", "8")),
+        resume=kw.get("resume", "false") == "true",
+        write_pngs=kw.get("no_pngs", "false") != "true",
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

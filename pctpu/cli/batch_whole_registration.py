@@ -1,0 +1,25 @@
+"""CLI: batch_whole_registration — argv contract of
+/root/reference/BatchWholeRegistration.cpp:311-321."""
+
+import sys
+
+from pctpu.cli._common import split_args, usage_exit
+from pctpu.pipelines.registration import run_batch_whole_registration
+
+
+def main(argv=None) -> int:
+    pos, kw = split_args(sys.argv[1:] if argv is None else argv)
+    if len(pos) < 2:
+        usage_exit(
+            "Usage: batch_whole_registration <match_result.txt> <point_cloud_dir>"
+        )
+    run_batch_whole_registration(
+        pos[0],
+        pos[1],
+        report_path=kw.get("report", "./icp_precision_report_3d_icp_directly.txt"),
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -43,6 +43,26 @@ def rotation_matrix_to_euler_angles(r: np.ndarray) -> np.ndarray:
     return np.array([x, y, z], np.float64)
 
 
+def eigen_euler_angles_xyz(r: np.ndarray) -> np.ndarray:
+    """Emulate ``Eigen::Matrix3d::eulerAngles(0, 1, 2)`` (Graphics Gems IV
+    style), used only by the KITTI selector
+    (/root/reference/KittiPointCloudSelect.cpp:292) to fill the decorative
+    roll/pitch/yaw CSV columns.  Returns (a0, a1, a2) with
+    R = Rx(a0) @ Ry(a1) @ Rz(a2) and a0 in [0, pi]."""
+    r = np.asarray(r, np.float64)
+    # even permutation (0,1,2): odd=0, i=0, j=1, k=2
+    res0 = np.arctan2(r[1, 2], r[2, 2])
+    c2 = np.hypot(r[0, 0], r[0, 1])
+    if res0 > 0:
+        res0 -= np.pi
+        res1 = np.arctan2(-r[0, 2], -c2)
+    else:
+        res1 = np.arctan2(-r[0, 2], c2)
+    s1, c1 = np.sin(res0), np.cos(res0)
+    res2 = np.arctan2(s1 * r[2, 0] - c1 * r[1, 0], c1 * r[1, 1] - s1 * r[2, 1])
+    return -np.array([res0, res1, res2], np.float64)
+
+
 def euler_zyx_to_matrix(roll: float, pitch: float, yaw: float) -> np.ndarray:
     """R = Rz(yaw) @ Ry(pitch) @ Rx(roll), the composition used by the Oxford
     selector (/root/reference/OxfordPointCloudSelect.cpp:253-256)."""

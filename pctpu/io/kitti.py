@@ -52,7 +52,11 @@ def assign_rings(points: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray
     reference writes into the structured cloud).
     """
     n = len(points)
-    az = np.degrees(np.arctan2(points[:, 1], points[:, 0])).astype(np.float32)
+    # f32 atan2, promoted /M_PI*180.0f in double, stored back in a float
+    # (/root/reference/KittiPointCloudSelect.cpp:189-193)
+    az = (
+        np.arctan2(points[:, 1], points[:, 0]).astype(np.float64) / np.pi * 180.0
+    ).astype(np.float32)
 
     row = np.full(n, -1, np.int32)
     # Ring transitions: candidate boundaries where az crosses 0 upward.
@@ -80,12 +84,13 @@ def assign_rings(points: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray
         ring_at[0] = -1
     row[1:] = ring_at[1:]
 
-    semi = az.astype(np.float64)
-    semi = np.where(semi >= 360.0, semi - 360.0, semi)
-    semi = np.where(semi < 0.0, semi + 360.0, semi)
-    col = np.where(
-        semi >= 0, np.floor(semi / (360.0 / HORIZON_SCAN) + 0.5), 0
-    ).astype(np.int32)
+    # makeAngleSemiPositive is f32 (:137-146); the column divide promotes to
+    # double (360.0 literal) and uses std::round (:225-226)
+    from pctpu.ops.rounding import c_round_np
+
+    semi = np.where(az >= 360.0, az - np.float32(360.0), az)
+    semi = np.where(semi < 0.0, semi + np.float32(360.0), semi)
+    col = c_round_np(semi.astype(np.float64) / (360.0 / HORIZON_SCAN)).astype(np.int32)
     col = np.where(col >= HORIZON_SCAN, col - HORIZON_SCAN, col)
     col = np.where(col < 0, col + HORIZON_SCAN, col)
 

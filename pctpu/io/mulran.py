@@ -28,10 +28,19 @@ def read_bin(path: str, max_points: int = MAX_NUM_POINTS) -> dict[str, np.ndarra
     pts = raw[: (len(raw) // 4) * 4].reshape(-1, 4)[:max_points]
     n = len(pts)
 
-    az = np.degrees(np.arctan2(pts[:, 1].astype(np.float64), pts[:, 0].astype(np.float64)))
-    az = np.where(az > 360.0, az - 360.0, az)
-    az = np.where(az < 0.0, az + 360.0, az)
-    col = np.where(az >= 0, np.floor(az / 360.0 * HORIZON_SCAN + 0.5), 0).astype(np.int32)
+    # all-f32 chain like the C++ (azimuth stored in a float,
+    # /root/reference/MulranPointCloudSelect.cpp:122-125); the intermediate
+    # /M_PI*180 promotion to double then back to float is emulated via f64
+    az = (
+        (np.arctan2(pts[:, 1], pts[:, 0]).astype(np.float64) / np.pi * 180.0)
+        .astype(np.float32)
+    )
+    az = np.where(az > 360.0, az - np.float32(360.0), az)
+    az = np.where(az < 0.0, az + np.float32(360.0), az)
+    from pctpu.ops.rounding import c_round_np
+
+    ratio = (az / np.float32(360.0) * np.float32(HORIZON_SCAN)).astype(np.float32)
+    col = c_round_np(ratio.astype(np.float64)).astype(np.int32)
 
     return {
         "x": pts[:, 0].copy(),

@@ -32,15 +32,27 @@ def read_bin(path: str) -> dict[str, np.ndarray]:
     z = -raw[2 * n : 3 * n].astype(np.float64)
     intensity = raw[3 * n : 4 * n]
 
-    elev = np.degrees(np.arctan2(z, np.sqrt(x * x + y * y)))
-    row_f = (-elev + 10.67) / 1.3335
-    row = np.where(row_f >= 0, np.floor(row_f + 0.5), np.ceil(row_f - 0.5)).astype(np.int32)
-    row = np.clip(row, 0, 31)
+    from pctpu.ops.rounding import c_round_np
 
-    az = np.degrees(np.arctan2(y, x))
-    az = np.where(az > 360.0, az - 360.0, az)
-    az = np.where(az < 0.0, az + 360.0, az)
-    col = np.where(az >= 0, np.floor(az / 360.0 * HORIZON_SCAN + 0.5), 0).astype(np.int32)
+    x32 = x.astype(np.float32)
+    y32 = y.astype(np.float32)
+    z32 = z.astype(np.float32)
+    # float members → f32 products; atan2 promoted to double by /M_PI*180.0f
+    # then stored in a float (:208); row expression is double (10.67/1.3335
+    # literals) on the f32 elevation
+    elev = (
+        np.arctan2(z32, np.sqrt(x32 * x32 + y32 * y32)).astype(np.float64)
+        / np.pi
+        * 180.0
+    ).astype(np.float32)
+    row_f = (-elev.astype(np.float64) + 10.67) / 1.3335
+    row = np.clip(c_round_np(row_f).astype(np.int32), 0, 31)
+
+    az = (np.arctan2(y32, x32).astype(np.float64) / np.pi * 180.0).astype(np.float32)
+    az = np.where(az > 360.0, az - np.float32(360.0), az)
+    az = np.where(az < 0.0, az + np.float32(360.0), az)
+    ratio = (az / np.float32(360.0) * np.float32(HORIZON_SCAN)).astype(np.float32)
+    col = c_round_np(ratio.astype(np.float64)).astype(np.int32)
     col = np.where(col >= HORIZON_SCAN, col - HORIZON_SCAN, col)
     col = np.where(col < 0, col + HORIZON_SCAN, col)
 

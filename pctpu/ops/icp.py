@@ -1,0 +1,204 @@
+"""Iterative closest point on TPU: fixed-shape lax.while_loop with masked
+correspondences, PCL-compatible estimation and convergence semantics.
+
+Reproduces pcl::IterativeClosestPoint / IterativeClosestPointWithNormals as
+configured by the reference
+(/root/reference/BatchTopPartRegistration.cpp:192-247):
+
+  * correspondence: 1-NN of each (already transformed) source point in the
+    target, rejected when squared distance > max_correspondence_distance²;
+  * estimation: point-to-point = Umeyama SVD (TransformationEstimationSVD),
+    point-to-plane = small-angle LLS on (α,β,γ,tx,ty,tz) with the solved
+    angles plugged into an exact Rz(γ)Ry(β)Rx(α) (PCL
+    TransformationEstimationPointToPlaneLLS::constructTransformationMatrix);
+  * per-iteration update: incremental transform composed onto the running
+    final transformation, which starts at the initial guess;
+  * convergence (PCL DefaultConvergenceCriteria order): max iterations →
+    converged; transform-delta (cos θ ≥ 1−ε_t and ‖t‖² ≤ ε_t) → converged;
+    |MSE−MSE_prev| < 1e-12 (absolute) or /MSE_prev < ε_fitness (relative) →
+    converged; < 3 correspondences → NOT converged;
+  * fitness = mean squared 1-NN distance of all transformed source points
+    (pcl::Registration::getFitnessScore with default max_range).
+
+TPU design: the loop is a ``lax.while_loop`` over fixed-size padded arrays;
+the NN search is the blocked matmul from pctpu.ops.knn; the per-iteration
+solve is a 3×3 SVD / 6×6 inverse — all static shapes, so one compilation
+serves every pair, and pairs can be vmapped (the two yaw guesses of the
+coarse stage run as one batched program).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pctpu.config import IcpConfig
+from pctpu.ops.knn import nn_1
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class IcpResult:
+    converged: jnp.ndarray  # bool
+    fitness: jnp.ndarray  # float32 — mean squared NN distance
+    transform: jnp.ndarray  # (4, 4) float32
+
+
+def _estimate_svd(src, tgt, w):
+    """Umeyama (no scale), weighted by w∈{0,1} — matches PCL
+    TransformationEstimationSVD on the correspondence subset."""
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    mu_s = jnp.sum(src * w[:, None], axis=0) / wsum
+    mu_t = jnp.sum(tgt * w[:, None], axis=0) / wsum
+    sd = (src - mu_s) * w[:, None]
+    td = tgt - mu_t
+    h = jnp.matmul(sd.T, td, precision=jax.lax.Precision.HIGHEST)  # (3,3)
+    u, _, vt = jnp.linalg.svd(h)
+    d = jnp.sign(jnp.linalg.det(vt.T @ u.T))
+    s = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(d)
+    r = (vt.T @ s) @ u.T
+    t = mu_t - r @ mu_s
+    m = jnp.eye(4, dtype=jnp.float32)
+    m = m.at[:3, :3].set(r.astype(jnp.float32))
+    m = m.at[:3, 3].set(t.astype(jnp.float32))
+    return m
+
+
+def _estimate_point_to_plane_lls(src, tgt, nrm, w):
+    """PCL TransformationEstimationPointToPlaneLLS: solve the linearized
+    point-to-plane system, then build Rz(γ)Ry(β)Rx(α)."""
+    a = jnp.cross(src, nrm)  # rows: s × n
+    jac = jnp.concatenate([a, nrm], axis=1)  # (N, 6)
+    jac = jac * w[:, None]
+    b = jnp.sum(nrm * (tgt - src), axis=1) * w
+    prec = jax.lax.Precision.HIGHEST
+    ata = jnp.matmul(jac.T, jac, precision=prec)
+    atb = jnp.matmul(jac.T, b, precision=prec)
+    x = jnp.linalg.solve(ata + 1e-12 * jnp.eye(6), atb)
+    alpha, beta, gamma, tx, ty, tz = x
+    ca, sa = jnp.cos(alpha), jnp.sin(alpha)
+    cb, sb = jnp.cos(beta), jnp.sin(beta)
+    cg, sg = jnp.cos(gamma), jnp.sin(gamma)
+    m = jnp.array(
+        [
+            [cg * cb, -sg * ca + cg * sb * sa, sg * sa + cg * sb * ca, tx],
+            [sg * cb, cg * ca + sg * sb * sa, -cg * sa + sg * sb * ca, ty],
+            [-sb, cb * sa, cb * ca, tz],
+            [0.0, 0.0, 0.0, 1.0],
+        ],
+        jnp.float32,
+    )
+    return m
+
+
+def _apply(m, pts):
+    return pts @ m[:3, :3].T + m[:3, 3]
+
+
+def icp(
+    src_xyz: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt_xyz: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    guess: jnp.ndarray,
+    cfg: IcpConfig,
+    tgt_normals: jnp.ndarray | None = None,
+    normal_mask: jnp.ndarray | None = None,
+    nn_tile: int = 512,
+) -> IcpResult:
+    """Run one ICP alignment.  All arrays fixed-size with validity masks.
+
+    For point-to-plane, ``tgt_normals`` are the target normals and
+    ``normal_mask`` marks targets with defined normals (the reference's NaN
+    normals are excluded from correspondences — documented divergence that
+    avoids NaN-poisoning PCL exhibits on isolated points).
+    """
+    max_d2 = jnp.float32(cfg.max_correspondence_distance) ** 2
+    eps_t = jnp.float32(cfg.transformation_epsilon)
+    rot_thresh = jnp.float32(1.0 - cfg.transformation_epsilon)
+    rel_mse = jnp.float32(cfg.euclidean_fitness_epsilon)
+    abs_mse = jnp.float32(1e-12)
+
+    corr_tgt_mask = tgt_mask
+    if tgt_normals is not None and normal_mask is not None:
+        corr_tgt_mask = tgt_mask & normal_mask
+
+    def one_iteration(transformed):
+        idx, d2 = nn_1(transformed, src_mask, tgt_xyz, corr_tgt_mask, tile=nn_tile)
+        w = (src_mask & (d2 <= max_d2)).astype(jnp.float32)
+        tgt = tgt_xyz[idx]
+        if cfg.point_to_plane:
+            assert tgt_normals is not None
+            inc = _estimate_point_to_plane_lls(transformed, tgt, tgt_normals[idx], w)
+        else:
+            inc = _estimate_svd(transformed, tgt, w)
+        return inc, w, d2
+
+    def cond(state):
+        it, _, _, done, _ = state
+        return (~done) & (it < cfg.max_iterations)
+
+    def body(state):
+        it, final_t, prev_mse, done, conv = state
+        transformed = _apply(final_t, src_xyz)
+        inc, w, d2 = one_iteration(transformed)
+        ncorr = jnp.sum(w)
+        enough = ncorr >= 3.0
+        inc = jnp.where(enough, inc, jnp.eye(4, dtype=jnp.float32))
+        final_t = inc @ final_t
+        it = it + 1
+
+        # convergence checks in PCL order
+        cos_angle = 0.5 * (inc[0, 0] + inc[1, 1] + inc[2, 2] - 1.0)
+        trans_sqr = jnp.sum(inc[:3, 3] ** 2)
+        delta_small = (cos_angle >= rot_thresh) & (trans_sqr <= eps_t)
+        mse = jnp.sum(d2 * w) / jnp.maximum(ncorr, 1.0)
+        mse_abs_ok = jnp.abs(mse - prev_mse) < abs_mse
+        mse_rel_ok = jnp.abs(mse - prev_mse) / jnp.maximum(prev_mse, 1e-30) < rel_mse
+        converged_now = delta_small | mse_abs_ok | mse_rel_ok
+        hit_max = it >= cfg.max_iterations
+
+        new_done = done | (~enough) | converged_now | hit_max
+        # < 3 correspondences → hasConverged() false (PCL aborts the loop)
+        new_conv = jnp.where(done, conv, enough & (converged_now | hit_max | conv))
+        return it, final_t, mse, new_done, new_conv
+
+    guess = jnp.asarray(guess, jnp.float32)
+    init = (
+        jnp.int32(0),
+        guess,
+        jnp.float32(jnp.finfo(jnp.float32).max),
+        jnp.bool_(False),
+        jnp.bool_(False),
+    )
+    it, final_t, _, _, conv = jax.lax.while_loop(cond, body, init)
+    # max-iteration exit without explicit convergence still counts converged
+    conv = conv | (it >= cfg.max_iterations)
+
+    # fitness: mean squared NN distance over all source points (default
+    # max_range → every point counts), against the plain target mask
+    transformed = _apply(final_t, src_xyz)
+    _, d2 = nn_1(transformed, src_mask, tgt_xyz, tgt_mask, tile=nn_tile)
+    nsrc = jnp.maximum(jnp.sum(src_mask.astype(jnp.float32)), 1.0)
+    fitness = jnp.sum(jnp.where(src_mask, d2, 0.0)) / nsrc
+    return IcpResult(converged=conv, fitness=fitness, transform=final_t)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nn_tile"))
+def icp_point_to_point(src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg: IcpConfig,
+                       nn_tile: int = 512) -> IcpResult:
+    return icp(src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg, nn_tile=nn_tile)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nn_tile"))
+def icp_point_to_plane(
+    src_xyz, src_mask, tgt_xyz, tgt_mask, tgt_normals, normal_mask, guess,
+    cfg: IcpConfig, nn_tile: int = 512,
+) -> IcpResult:
+    return icp(
+        src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg,
+        tgt_normals=tgt_normals, normal_mask=normal_mask, nn_tile=nn_tile,
+    )

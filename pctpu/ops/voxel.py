@@ -1,0 +1,61 @@
+"""Deterministic voxel-grid centroid downsampling (PCL VoxelGrid semantics).
+
+Reproduces ``pcl::VoxelGrid`` with leaf 0.2
+(/root/reference/BatchTopPartRegistration.cpp:342-346): voxel index
+ijk = floor(coord / leaf) offset by the cloud min; one output point per
+occupied voxel = the centroid of its points; outputs ordered by ascending
+flat voxel index (PCL sorts its index vector).
+
+TPU design: dynamic voxel counts become a fixed-size sort + segment mean:
+sort points by voxel key, detect segment heads, scatter-mean, and compact —
+all static shapes, fully parallel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def voxel_downsample(
+    xyz: jnp.ndarray, mask: jnp.ndarray, leaf: float
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(xyz (N,3), valid (N,), leaf) → (centroids (N,3), valid (N,), count).
+
+    Centroids are compacted to the front in ascending-voxel order.
+    """
+    n = xyz.shape[0]
+    inv = 1.0 / leaf
+    big = jnp.float32(1e30)
+    guarded = jnp.where(mask[:, None], xyz, big)
+    mins = jnp.min(guarded, axis=0)
+    ijk = jnp.floor(xyz * inv).astype(jnp.int32)
+    min_b = jnp.floor(mins * inv).astype(jnp.int32)
+    maxs = jnp.max(jnp.where(mask[:, None], xyz, -big), axis=0)
+    max_b = jnp.floor(maxs * inv).astype(jnp.int32)
+    div = max_b - min_b + 1
+    rel = ijk - min_b
+    key = rel[:, 0] + rel[:, 1] * div[0] + rel[:, 2] * div[0] * div[1]
+    sentinel = div[0] * div[1] * div[2]
+    key = jnp.where(mask, key, sentinel)
+
+    order = jnp.argsort(key, stable=True)
+    key_s = key[order]
+    xyz_s = xyz[order]
+    mask_s = mask[order]
+
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]]
+    ) & mask_s
+    seg = jnp.cumsum(head.astype(jnp.int32)) - 1  # segment id per sorted point
+    seg = jnp.where(mask_s, seg, n - 1)  # park padding in the last slot
+
+    ssum = jnp.zeros((n, 3), jnp.float32).at[seg].add(
+        jnp.where(mask_s[:, None], xyz_s, 0.0)
+    )
+    scount = jnp.zeros((n,), jnp.float32).at[seg].add(mask_s.astype(jnp.float32))
+    nvox = jnp.sum(head.astype(jnp.int32))
+    valid = jnp.arange(n) < nvox
+    centroids = jnp.where(
+        valid[:, None], ssum / jnp.maximum(scount, 1.0)[:, None], 0.0
+    )
+    return centroids, valid, nvox

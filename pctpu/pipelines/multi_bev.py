@@ -1,0 +1,210 @@
+"""The flagship pipeline: batch multi/single BEV generation + labels.
+
+Reference driver: /root/reference/BatchMultiBevGen.cpp:664-771.  Directory
+contract (inputs ``keyframe_point_cloud/`` + ``keyframe_pose.csv``; outputs
+``non_ground_point_cloud/``, ``output_multi_bev/{binary,image}/``,
+``output_single_bev/{csv,image}/``, ``keyframe_label.csv``) is preserved
+exactly, including the per-layer PNG naming ``image/<idx>/%02d.png``.
+
+TPU design: the per-cloud C++ loop becomes host prefetch → one jitted batched
+kernel (ordering + ground + both BEVs fused) → host writeback, with the
+batch axis optionally sharded over a device mesh (pure data parallelism).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import shutil
+
+import jax
+import numpy as np
+
+from pctpu.cloud import Cloud
+from pctpu.config import (
+    GroundConfig,
+    MultiBevConfig,
+    SensorParams,
+    SingleBevConfig,
+    get_sensor_params,
+)
+from pctpu.io.csvfmt import write_csv
+from pctpu.io.pcd import write_pcd
+from pctpu.io.png import write_gray_png
+from pctpu.io.poses import read_keyframe_poses, save_labels
+from pctpu.ops.preprocess import preprocess_batch
+from pctpu.ops.select import keyframe_labels, select_major_frames
+from pctpu.runtime.loader import (
+    batched_prefetch,
+    list_pcd_files,
+    load_xyzirct_arrays,
+    stack_batch,
+)
+from pctpu.runtime.profiler import StageTimer
+from pctpu.utils import logging as log
+
+
+@dataclasses.dataclass
+class MultiBevOutputs:
+    num_clouds: int
+    num_major_frames: int
+    avg_ms_per_cloud: float
+
+
+def _reset_dir(path: str, resume: bool) -> None:
+    """Recreate an output dir (the reference shells out rm -rf + mkdir -p,
+    /root/reference/BatchMultiBevGen.cpp:39-71); with resume=True existing
+    outputs are kept and finished clouds are skipped."""
+    if os.path.isdir(path) and not resume:
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+
+
+def _short_name(path: str) -> str:
+    """Filename without dir and extension
+    (/root/reference/BatchMultiBevGen.cpp:739-742)."""
+    base = os.path.basename(path)
+    return base[: base.rfind(".")] if "." in base else base
+
+
+def run_multi_bev(
+    keyframes_root_dir: str,
+    sensor: str | SensorParams,
+    batch_size: int = 8,
+    resume: bool = False,
+    devices: list | None = None,
+    write_pngs: bool = True,
+) -> MultiBevOutputs:
+    """Run the full batch_multi_bev_gen pipeline over a keyframe tree."""
+    root = keyframes_root_dir.rstrip("/") + "/"
+    params = sensor if isinstance(sensor, SensorParams) else get_sensor_params(sensor)
+    multi_cfg = MultiBevConfig()
+    single_cfg = SingleBevConfig()
+    ground_cfg = GroundConfig()
+
+    in_dir = root + "keyframe_point_cloud/"
+    pose_file = root + "keyframe_pose.csv"
+    non_ground_dir = root + "non_ground_point_cloud/"
+    bin_dir = root + "output_multi_bev/binary/"
+    img_dir = root + "output_multi_bev/image/"
+    single_csv_dir = root + "output_single_bev/csv/"
+    single_img_dir = root + "output_single_bev/image/"
+    label_file = root + "keyframe_label.csv"
+
+    for d in (non_ground_dir, bin_dir, img_dir, single_csv_dir, single_img_dir):
+        _reset_dir(d, resume)
+
+    files = list_pcd_files(in_dir)
+    if resume:
+        files = [
+            f for f in files
+            if not os.path.exists(bin_dir + _short_name(f) + ".bin")
+        ]
+    log.info(f"Using sensor params: {params}")
+
+    timer = StageTimer()
+    done = 0
+    if files:
+        capacity = params.grid_size
+        loader = batched_prefetch(
+            files, batch_size, lambda f: load_xyzirct_arrays(f, capacity)
+        )
+        for names, payloads in loader:
+            arrays = stack_batch(payloads)
+            with timer.stage("preprocess+bev", items=sum(1 for n in names if n)):
+                batch = Cloud(
+                    xyz=jax.numpy.asarray(arrays["xyz"]),
+                    intensity=jax.numpy.asarray(arrays["intensity"]),
+                    row=jax.numpy.asarray(arrays["row"]),
+                    col=jax.numpy.asarray(arrays["col"]),
+                    t=jax.numpy.asarray(arrays["t"]),
+                    label=jax.numpy.asarray(arrays["label"]),
+                    count=jax.numpy.asarray(arrays["count"]),
+                )
+                labeled, multi, single = preprocess_batch(
+                    batch, params, ground_cfg, multi_cfg, single_cfg
+                )
+                multi_h = np.asarray(multi)
+                single_h = np.asarray(single)
+                labeled_h = jax.device_get(labeled)
+
+                for bi, name in enumerate(names):
+                    if name is None:
+                        continue
+                    short = _short_name(name)
+                    log.info(f"Converting file: {short}")
+                    _write_outputs(
+                        short,
+                        labeled_h,
+                        bi,
+                        multi_h[bi],
+                        single_h[bi],
+                        bin_dir,
+                        img_dir,
+                        single_csv_dir,
+                        single_img_dir,
+                        non_ground_dir,
+                        write_pngs,
+                    )
+                    done += 1
+
+    avg = timer.average_ms("preprocess+bev")
+    log.info(f"[TIME] Average preprocessing and BEV generation: {avg}")
+
+    # Step 2: major frames + labels (/root/reference/BatchMultiBevGen.cpp:761-765)
+    poses = read_keyframe_poses(pose_file)
+    log.info(f"Finish reading all keyframe pose, total {len(poses)} entries. ")
+    positions = np.array([[p.x, p.y, p.z] for _, p in poses], np.float32).reshape(-1, 3)
+    majors = select_major_frames(positions)
+    log.info(f"One-hot label has length: {len(majors)}")
+    labels = keyframe_labels(positions, majors)
+    save_labels(label_file, labels)
+    log.info(f"saved labels from {len(labels)} key frames. ")
+    log.info("Done. ")
+    return MultiBevOutputs(
+        num_clouds=done, num_major_frames=len(majors), avg_ms_per_cloud=avg
+    )
+
+
+def _write_outputs(
+    short: str,
+    labeled_h,
+    bi: int,
+    multi: np.ndarray,
+    single: np.ndarray,
+    bin_dir: str,
+    img_dir: str,
+    single_csv_dir: str,
+    single_img_dir: str,
+    non_ground_dir: str,
+    write_pngs: bool,
+) -> None:
+    # multi-layer: one raw binary (layer-major, row-major) + 24 pngs
+    with open(bin_dir + short + ".bin", "wb") as f:
+        f.write(multi.tobytes())
+    if write_pngs:
+        cloud_img_dir = img_dir + short + "/"
+        os.makedirs(cloud_img_dir, exist_ok=True)
+        for layer_idx in range(multi.shape[0]):
+            write_gray_png(f"{cloud_img_dir}{layer_idx:02d}.png", multi[layer_idx])
+        write_gray_png(single_img_dir + short + ".png", single)
+    write_csv(single_csv_dir + short + ".csv", single)
+
+    # ground-labeled full ordered cloud (points are never deleted —
+    # /root/reference/BatchMultiBevGen.cpp:754-756)
+    g = labeled_h.xyz.shape[-2]
+    xyz = np.asarray(labeled_h.xyz[bi])
+    write_pcd(
+        non_ground_dir + short + ".pcd",
+        {
+            "x": xyz[:, 0],
+            "y": xyz[:, 1],
+            "z": xyz[:, 2],
+            "intensity": np.asarray(labeled_h.intensity[bi]),
+            "row": np.asarray(labeled_h.row[bi]).astype(np.uint16),
+            "col": np.asarray(labeled_h.col[bi]).astype(np.uint16),
+            "t": np.asarray(labeled_h.t[bi]),
+            "label": np.asarray(labeled_h.label[bi]).astype(np.int16),
+        },
+        width=g,
+    )

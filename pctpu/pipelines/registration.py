@@ -1,0 +1,282 @@
+"""Two-stage top-part registration + whole-cloud ablation drivers.
+
+References: batch_top_part_registration
+(/root/reference/BatchTopPartRegistration.cpp:311-541), top_part_registration
+(/root/reference/TopPartRegistration.cpp:256-455, minus the viewer), and
+batch_whole_registration (/root/reference/BatchWholeRegistration.cpp:311-418).
+
+TPU design: per pair, top-part extraction + voxel + normals run as one jitted
+program; the two coarse yaw guesses {θ, θ+180°} run as a single vmapped ICP
+(the reference runs them sequentially, :439-457); the fine stage is one more
+jitted ICP on the voxel-downsampled full clouds.  Fixed capacities make every
+pair reuse the same compiled programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pctpu.cloud import Cloud
+from pctpu.config import RegistrationConfig
+from pctpu.geom.se3 import yaw_rotation_4x4
+from pctpu.io.pcd import load_cloud_pcd
+from pctpu.ops.icp import icp_point_to_plane, icp_point_to_point
+from pctpu.ops.normals2d import normals_2d
+from pctpu.ops.topflatten import extract_top_and_flatten
+from pctpu.ops.voxel import voxel_downsample
+from pctpu.runtime.profiler import StageTimer
+from pctpu.utils import logging as log
+
+
+@dataclasses.dataclass
+class MatchResult:
+    """One row of match_result.txt
+    (/root/reference/BatchTopPartRegistration.cpp:250-272)."""
+
+    query_idx: int
+    match_idx: int
+    angle_guess: float
+
+
+def load_match_results(path: str) -> list[MatchResult]:
+    matches = []
+    with open(path) as f:
+        for line in f:
+            tok = line.split()
+            if not tok:
+                continue
+            matches.append(MatchResult(int(tok[0]), int(tok[1]), float(tok[2])))
+    return matches
+
+
+@dataclasses.dataclass
+class PairReport:
+    query_idx: int
+    match_idx: int
+    success: bool
+    fitness_coarse: float
+    fitness_fine: float
+    diff_xy: float
+    diff_yaw: float
+    transform_fine: np.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("flat_cap", "leaf", "radius"))
+def _prepare_flat(cloud: Cloud, flat_cap: int, leaf: float, radius: float):
+    """top+flatten → voxel → 2-D normals, compacted into flat_cap slots."""
+    xyz, mask, _ = extract_top_and_flatten(cloud)
+    xyz = xyz[:flat_cap]
+    mask = mask[:flat_cap]
+    ds_xyz, ds_mask, _ = voxel_downsample(xyz, mask, leaf)
+    normals, curv, normal_ok = normals_2d(ds_xyz, ds_mask, radius=radius)
+    return ds_xyz, ds_mask, normals, normal_ok
+
+
+@functools.partial(jax.jit, static_argnames=("leaf",))
+def _voxel_full(cloud: Cloud, leaf: float):
+    return voxel_downsample(cloud.xyz, cloud.valid_mask(), leaf)
+
+
+def _coarse_two_guesses(src, src_mask, tgt, tgt_mask, tgt_normals, normal_ok,
+                        angle_guess_deg: float, cfg: RegistrationConfig):
+    """Both yaw guesses as one vmapped point-to-plane ICP
+    (guess and guess+180°, /root/reference/BatchTopPartRegistration.cpp:416-425)."""
+    g1 = yaw_rotation_4x4(angle_guess_deg / 180.0 * math.pi).astype(np.float32)
+    g2 = yaw_rotation_4x4((angle_guess_deg + 180.0) / 180.0 * math.pi).astype(np.float32)
+    guesses = jnp.stack([jnp.asarray(g1), jnp.asarray(g2)])
+
+    def run(guess):
+        return icp_point_to_plane(
+            src, src_mask, tgt, tgt_mask, tgt_normals, normal_ok, guess, cfg.coarse
+        )
+
+    return jax.vmap(run)(guesses)
+
+
+def register_pair(
+    cloud_1: Cloud,
+    cloud_2: Cloud,
+    angle_guess_deg: float,
+    cfg: RegistrationConfig = RegistrationConfig(),
+    flat_cap: int = 32768,
+    timer: StageTimer | None = None,
+) -> tuple[object, object]:
+    """Returns (best coarse IcpResult, fine IcpResult or None)."""
+    timer = timer or StageTimer()
+    with timer.stage("coarse"):
+        src, src_mask, _, _ = _prepare_flat(cloud_1, flat_cap, cfg.voxel_leaf, cfg.normal_radius)
+        tgt, tgt_mask, tgt_normals, normal_ok = _prepare_flat(
+            cloud_2, flat_cap, cfg.voxel_leaf, cfg.normal_radius
+        )
+        results = _coarse_two_guesses(
+            src, src_mask, tgt, tgt_mask, tgt_normals, normal_ok, angle_guess_deg, cfg
+        )
+        f0 = float(results.fitness[0])
+        f1 = float(results.fitness[1])
+        # tie picks the second guess, like the C++ ternary (:464)
+        best_i = 0 if f0 < f1 else 1
+        best = jax.tree.map(lambda a: a[best_i], results)
+        _ = float(best.fitness)  # block for timing fidelity
+
+    if not cfg.use_refinement:
+        return best, None
+
+    with timer.stage("fine"):
+        s_xyz, s_mask, _ = _voxel_full(cloud_1, cfg.voxel_leaf)
+        t_xyz, t_mask, _ = _voxel_full(cloud_2, cfg.voxel_leaf)
+        fine = icp_point_to_point(
+            s_xyz, s_mask, t_xyz, t_mask, best.transform, cfg.fine
+        )
+        _ = float(fine.fitness)
+    return best, fine
+
+
+def _rotmat_to_euler_f32(r: np.ndarray) -> np.ndarray:
+    """float32 euler extraction
+    (/root/reference/BatchTopPartRegistration.cpp:290-309)."""
+    r = np.asarray(r, np.float32)
+    sy = np.sqrt(r[0, 0] * r[0, 0] + r[1, 0] * r[1, 0])
+    if sy >= 1e-6:
+        return np.array(
+            [np.arctan2(r[2, 1], r[2, 2]), np.arctan2(-r[2, 0], sy), np.arctan2(r[1, 0], r[0, 0])],
+            np.float32,
+        )
+    return np.array(
+        [np.arctan2(-r[1, 2], r[1, 1]), np.arctan2(-r[2, 0], sy), 0.0], np.float32
+    )
+
+
+def _ostream_float(v: float) -> str:
+    return "%.6g" % float(v)
+
+
+def run_batch_top_part_registration(
+    match_results_filename: str,
+    point_cloud_dir: str,
+    cfg: RegistrationConfig = RegistrationConfig(),
+    report_path: str = "./icp_precision_report.txt",
+    capacity: int | None = None,
+    flat_cap: int = 32768,
+) -> list[PairReport]:
+    """The batch evaluator.  Returns per-pair reports; writes the precision
+    report and prints the reference-style summary."""
+    matches = load_match_results(match_results_filename)
+    timer = StageTimer()
+    reports: list[PairReport] = []
+    count_success = 0
+    count_failure = 0
+
+    with open(report_path, "w") as report:
+        for m in matches:
+            log.green(f"Processing match: {m.query_idx} and {m.match_idx}")
+            c1 = load_cloud_pcd(
+                os.path.join(point_cloud_dir, f"{m.query_idx:06d}.pcd"), capacity
+            )
+            c2 = load_cloud_pcd(
+                os.path.join(point_cloud_dir, f"{m.match_idx:06d}.pcd"), capacity
+            )
+            best, fine = register_pair(
+                c1, c2, m.angle_guess, cfg, flat_cap=flat_cap, timer=timer
+            )
+            t_coarse = np.asarray(best.transform)
+            t_fine = np.asarray(fine.transform)
+            fit_fine = float(fine.fitness)
+            log.info(
+                f"is icp converged: {bool(fine.converged)}, fitness score: {fit_fine}"
+            )
+
+            if fit_fine > cfg.failure_fitness:
+                log.red("3D ICP Failed. ")
+                count_failure += 1
+                reports.append(
+                    PairReport(m.query_idx, m.match_idx, False, float(best.fitness),
+                               fit_fine, np.nan, np.nan, t_fine)
+                )
+                continue
+
+            diff_x = np.float32(t_fine[0, 3]) - np.float32(t_coarse[0, 3])
+            diff_y = np.float32(t_fine[1, 3]) - np.float32(t_coarse[1, 3])
+            diff_xy = float(np.sqrt(diff_x * diff_x + diff_y * diff_y))
+            rela_rot = np.linalg.inv(t_fine[:3, :3].astype(np.float32)) @ t_coarse[
+                :3, :3
+            ].astype(np.float32)
+            diff_yaw = float(_rotmat_to_euler_f32(rela_rot)[2]) / math.pi * 180.0
+            if diff_yaw > 180.0:
+                diff_yaw -= 360.0
+            if diff_yaw < -180.0:
+                diff_yaw += 360.0
+            log.info(f"diff_xy: {diff_xy}, diff_yaw: {diff_yaw}")
+            report.write(f"{_ostream_float(diff_xy)} {_ostream_float(diff_yaw)}\n")
+            count_success += 1
+            reports.append(
+                PairReport(m.query_idx, m.match_idx, True, float(best.fitness),
+                           fit_fine, diff_xy, diff_yaw, t_fine)
+            )
+
+    n = max(len(matches), 1)
+    log.green(f"[TIME] Avg Tiempo for 1st Stage (coarse): {timer.totals_ms['coarse'] / n}")
+    log.green(f"[TIME] Avg Tiempo for 2nd Stage (fine): {timer.totals_ms['fine'] / n}")
+    total = count_success + count_failure
+    sr = count_success / total if total else float("nan")
+    log.info(
+        f"count_success: {count_success}, count_failure: {count_failure}, SR: {sr}. "
+    )
+    return reports
+
+
+def run_batch_whole_registration(
+    match_results_filename: str,
+    point_cloud_dir: str,
+    cfg: RegistrationConfig | None = None,
+    report_path: str = "./icp_precision_report_3d_icp_directly.txt",
+    capacity: int | None = None,
+) -> tuple[int, int]:
+    """Ablation: direct 3-D ICP from the yaw guess on whole downsampled
+    clouds (/root/reference/BatchWholeRegistration.cpp:311-418).  The report
+    file is created but — like the reference — never written to; only the
+    success/failure counts are reported.  Returns (success, failure)."""
+    from pctpu.config import WHOLE_ICP
+
+    if cfg is None:
+        cfg = RegistrationConfig(fine=WHOLE_ICP)
+    matches = load_match_results(match_results_filename)
+    timer = StageTimer()
+    count_success = 0
+    count_failure = 0
+    open(report_path, "w").close()
+
+    for m in matches:
+        log.green(f"Processing match: {m.query_idx} and {m.match_idx}")
+        c1 = load_cloud_pcd(os.path.join(point_cloud_dir, f"{m.query_idx:06d}.pcd"), capacity)
+        c2 = load_cloud_pcd(os.path.join(point_cloud_dir, f"{m.match_idx:06d}.pcd"), capacity)
+        with timer.stage("fine"):
+            guess = jnp.asarray(
+                yaw_rotation_4x4(m.angle_guess / 180.0 * math.pi).astype(np.float32)
+            )
+            s_xyz, s_mask, _ = _voxel_full(c1, cfg.voxel_leaf)
+            t_xyz, t_mask, _ = _voxel_full(c2, cfg.voxel_leaf)
+            fine = icp_point_to_point(s_xyz, s_mask, t_xyz, t_mask, guess, cfg.fine)
+            fit = float(fine.fitness)
+        log.info(f"is icp converged: {bool(fine.converged)}, fitness score: {fit}")
+        if fit > cfg.failure_fitness:
+            log.red("3D ICP Failed. ")
+            count_failure += 1
+        else:
+            log.green("3D ICP Passed. ")
+            count_success += 1
+
+    n = max(len(matches), 1)
+    log.green(f"[TIME] Avg Tiempo for 2nd Stage (fine): {timer.totals_ms['fine'] / n}")
+    total = count_success + count_failure
+    sr = count_success / total if total else float("nan")
+    log.info(
+        f"count_success: {count_success}, count_failure: {count_failure}, SR: {sr}. "
+    )
+    return count_success, count_failure

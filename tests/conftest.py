@@ -4,9 +4,11 @@ run anywhere (SURVEY.md §4)."""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402  (must configure before backend init)
+
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except RuntimeError:
+    pass  # backend already initialized (e.g. plugin import order)

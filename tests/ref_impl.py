@@ -1,0 +1,239 @@
+"""Independent plain-loop transcriptions of the reference semantics, used as
+differential-test oracles for the vectorized TPU ops.
+
+These follow the C++ control flow literally (sequential loops, in-place
+writes) so that any vectorization mistake in pctpu.ops shows up as a diff.
+Small inputs only — they are deliberately slow.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def c_round(v: float) -> int:
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+
+def _bev_cell(coord: float, max_range: float, interval: float = 1.0) -> int:
+    """round((coord + MAX_RANGE)/interval + 0.5) with the C++ mixed
+    precision: the inner expression is f32, the +0.5 promotes to double."""
+    t = np.float32(np.float32(coord) + np.float32(max_range)) / np.float32(interval)
+    return c_round(float(t) + 0.5)
+
+
+def ordered_cloud_ref(points: list[dict], n_scan: int, horizon_scan: int) -> list[dict]:
+    """getOrderedCloud (/root/reference/BatchMultiBevGen.cpp:94-117)."""
+    zero = {"x": 0.0, "y": 0.0, "z": 0.0, "intensity": 0.0, "row": 0, "col": 0, "t": 0, "label": 0}
+    out = [dict(zero) for _ in range(n_scan * horizon_scan)]
+    for p in points:
+        r, c = p["row"], p["col"]
+        if r < 0 or r >= n_scan or c < 0 or c >= horizon_scan:
+            continue
+        out[r * horizon_scan + c] = dict(p)
+    return out
+
+
+def mark_ground_ref(
+    cloud: list[dict],
+    n_scan: int,
+    horizon_scan: int,
+    ground_upper_scan: int,
+    grid_rows: int = 75,
+    grid_cols: int = 50,
+) -> np.ndarray:
+    """markGroundPoints (/root/reference/BatchMultiBevGen.cpp:119-252).
+
+    Mutates labels in `cloud` and returns the ground mat.
+    """
+    h = horizon_scan
+    gm = np.zeros((n_scan, h), np.int8)
+    heights = np.zeros((grid_rows, grid_cols), np.float32)
+    counts = np.full((grid_rows, grid_cols), 0.01, np.float32)
+
+    for col in range(h):
+        for row in range(n_scan - 1, n_scan - ground_upper_scan - 1, -1):
+            lower = row * h + col
+            upper = (row - 1) * h + col
+            if cloud[upper]["intensity"] == -1:
+                tmp_col = (col + 2) % h
+                upper = (row - 1) * h + tmp_col
+            if cloud[upper]["intensity"] == -1:
+                tmp_col = math.fmod(col - 2, h)  # C++ % truncates toward zero
+                upper = (row - 1) * h + int(tmp_col)
+            if cloud[upper]["intensity"] == -1 and row >= 2:
+                upper = (row - 2) * h + col
+            if cloud[lower]["intensity"] == -1 or cloud[upper]["intensity"] == -1:
+                gm[row, col] = -1
+                continue
+            dx = np.float32(cloud[upper]["x"]) - np.float32(cloud[lower]["x"])
+            dy = np.float32(cloud[upper]["y"]) - np.float32(cloud[lower]["y"])
+            dz = np.float32(cloud[upper]["z"]) - np.float32(cloud[lower]["z"])
+            angle = math.atan2(dz, math.sqrt(dx * dx + dy * dy)) * 180.0 / math.pi
+            if abs(angle) <= 10.0:
+                gm[row, col] = 1
+                gm[row - 1, col] = 1
+
+    def belonging(idx):
+        # double arithmetic on the float members (BatchMultiBevGen.h:78-81)
+        sx = int(math.floor((float(np.float32(cloud[idx]["x"])) + 75.0) / 2.0))
+        sy = int(math.floor((float(np.float32(cloud[idx]["y"])) + 50.0) / 2.0))
+        return min(max(sx, 0), grid_rows - 1), min(max(sy, 0), grid_cols - 1)
+
+    for row in range(n_scan):
+        for col in range(h):
+            if gm[row, col] != 1:
+                continue
+            sr, sc = belonging(row * h + col)
+            heights[sr, sc] += np.float32(cloud[row * h + col]["z"])
+            counts[sr, sc] += 1
+
+    avg = heights / counts
+
+    for row in range(n_scan):
+        for col in range(h):
+            idx = row * h + col
+            sr, sc = belonging(idx)
+            for dr, dc in ((-1, 0), (0, 1), (0, -1), (1, 0)):
+                nr, nc = sr + dr, sc + dc
+                if nr < 0 or nr >= grid_rows or nc < 0 or nc >= grid_cols:
+                    continue
+                # f32 difference promoted to f64, compared to the double 0.30
+                if float(np.float32(cloud[idx]["z"]) - avg[nr, nc]) > 0.30:
+                    gm[row, col] = 0
+                    break
+            if gm[row, col] == 1:
+                cloud[idx]["label"] = 0
+    return gm
+
+
+def multi_bev_ref(cloud: list[dict], height_res: float) -> np.ndarray:
+    """computeAndSaveMultiBev rasterization (:261-292)."""
+    max_range, size, layers = 112, 224, 24
+    img = np.zeros((layers, size, size), np.uint8)
+    for p in cloud:
+        x = _bev_cell(p["x"], max_range)
+        y = _bev_cell(p["y"], max_range)
+        # all-f32 chain: z/HEIGHT_RES + 2.0f, round(float)
+        layer = c_round(
+            float(np.float32(np.float32(p["z"]) / np.float32(height_res)) + np.float32(2.0))
+        )
+        if x < 0 or x >= size or y < 0 or y >= size or layer < 0 or layer >= layers or p["label"] == 0:
+            continue
+        if img[layer, x, y] == 0:
+            img[layer, x, y] = 255
+    return img
+
+
+def single_bev_ref(cloud: list[dict]) -> np.ndarray:
+    """computeAndSaveSingleBev rasterization (:331-356)."""
+    max_range, size = 112, 224
+    img = np.zeros((size, size), np.uint8)
+    for p in cloud:
+        x = _bev_cell(p["x"], max_range)
+        y = _bev_cell(p["y"], max_range)
+        height = int((p["z"] + 2.0) * 4.0)
+        height = min(max(0, height), 255)
+        if x < 0 or x >= size or y < 0 or y >= size or p["label"] == 0:
+            continue
+        if img[x, y] < height:
+            img[x, y] = height
+    return img
+
+
+def float_bev_ref(cloud: list[dict], filter_ground: bool) -> np.ndarray:
+    """saveAsMat rasterization (/root/reference/BatchCloudManip.cpp:201-239)."""
+    max_range, size = 100, 201
+    img = np.zeros((size, size), np.float32)
+    for p in cloud:
+        x = _bev_cell(p["x"], max_range)
+        y = _bev_cell(p["y"], max_range)
+        if x < 0 or x >= size or y < 0 or y >= size:
+            continue
+        if filter_ground and p["label"] == 0:
+            continue
+        if p["z"] + 2.0 > img[x, y]:
+            img[x, y] = p["z"] + 2.0
+    return img
+
+
+def top_flatten_ref(cloud: list[dict]) -> list[tuple[float, float, float]]:
+    """extractTopAndFlatten (/root/reference/BatchTopPartRegistration.cpp:90-147)."""
+    num_grid = 10
+    max_radius = 100.0
+    grid_res = 2.0 * max_radius / num_grid
+    min_pts = 20
+    grid: dict[tuple[int, int], list[int]] = {}
+    for i, p in enumerate(cloud):
+        if p["label"] == 0:
+            continue
+        gx = c_round(float(np.float32(np.float32(p["x"]) + np.float32(max_radius)) / np.float32(grid_res)))
+        gy = c_round(float(np.float32(np.float32(p["y"]) + np.float32(max_radius)) / np.float32(grid_res)))
+        if gx < 0 or gx >= num_grid or gy < 0 or gy >= num_grid:
+            continue
+        grid.setdefault((gx, gy), []).append(i)
+    out = []
+    for gx in range(num_grid):
+        for gy in range(num_grid):
+            idxs = grid.get((gx, gy), [])
+            n = len(idxs)
+            needed = c_round(0.2 * n)
+            if n < min_pts:
+                continue
+            idxs = sorted(idxs, key=lambda i: -cloud[i]["z"])
+            for i in idxs[:needed]:
+                out.append((cloud[i]["x"], cloud[i]["y"], 0.0))
+    return out
+
+
+def voxel_ref(points: np.ndarray, leaf: float) -> np.ndarray:
+    """pcl::VoxelGrid semantics: per-voxel centroid, output ordered by
+    ascending flat voxel index relative to the cloud minimum."""
+    points = np.asarray(points, np.float32)
+    inv = np.float32(1.0 / leaf)
+    minb = np.floor(points.min(axis=0) * inv).astype(np.int64)
+    maxb = np.floor(points.max(axis=0) * inv).astype(np.int64)
+    div = maxb - minb + 1
+    ijk = np.floor(points * inv).astype(np.int64) - minb
+    key = ijk[:, 0] + ijk[:, 1] * div[0] + ijk[:, 2] * div[0] * div[1]
+    out = []
+    for k in np.unique(key):  # unique returns sorted keys
+        sel = points[key == k]
+        out.append(sel.mean(axis=0))
+    return np.asarray(out, np.float32)
+
+
+def normals2d_ref(points: np.ndarray, radius: float = 2.0):
+    """Normal2dEstimation + PCA2D loops (see pctpu/ops/normals2d.py docstring).
+
+    Returns (normals (N,2), valid (N,)); invalid = <2 neighbors (NaN in PCL).
+    """
+    points = np.asarray(points, np.float64)[:, :2]
+    n = len(points)
+    normals = np.zeros((n, 2))
+    valid = np.zeros(n, bool)
+    for i in range(n):
+        d2 = np.sum((points - points[i]) ** 2, axis=1)
+        nbr = np.flatnonzero(d2 <= radius * radius)
+        if len(nbr) < 2:
+            continue
+        if len(nbr) == 2:
+            order = nbr[np.argsort(d2[nbr], kind="stable")]
+            vect = points[order[0]] - points[order[1]]
+            vect = vect / np.linalg.norm(vect)
+            nrm = np.array([-vect[1], vect[0]])
+        else:
+            sel = points[nbr]
+            mu = sel.mean(axis=0)
+            d = sel - mu
+            scatter = d.T @ d
+            w, v = np.linalg.eigh(scatter)  # ascending
+            nrm = v[:, 0]  # minor eigenvector
+        vp = -points[i]
+        if np.dot(vp, nrm) < 0:
+            nrm = -nrm
+        normals[i] = nrm
+        valid[i] = True
+    return normals, valid

@@ -1,0 +1,198 @@
+"""Differential tests: vectorized TPU ops vs plain-loop oracle (ref_impl)."""
+
+import numpy as np
+import pytest
+
+from pctpu.cloud import make_cloud
+from pctpu.config import (
+    FloatBevConfig,
+    GroundConfig,
+    MultiBevConfig,
+    SensorParams,
+    SingleBevConfig,
+)
+from pctpu.ops.bev import float_bev, multi_bev, single_bev
+from pctpu.ops.ground import mark_ground
+from pctpu.ops.ordering import get_ordered_cloud
+
+from . import ref_impl
+
+SMALL = SensorParams(n_scan=16, horizon_scan=32, ground_upper_scan=10, height_res=0.5)
+
+
+def random_points(rng, n, params, intensity_neg1_frac=0.2):
+    pts = []
+    for _ in range(n):
+        r = float(rng.uniform(2.0, 60.0))
+        az = float(rng.uniform(-np.pi, np.pi))
+        pts.append(
+            {
+                "x": float(np.float32(r * np.cos(az))),
+                "y": float(np.float32(r * np.sin(az))),
+                "z": float(np.float32(rng.uniform(-2.5, 4.0))),
+                "intensity": -1.0 if rng.random() < intensity_neg1_frac else float(np.float32(rng.random())),
+                "row": int(rng.integers(-1, params.n_scan + 1)),
+                "col": int(rng.integers(-1, params.horizon_scan + 1)),
+                "t": int(rng.integers(0, 1000)),
+                "label": -2,
+            }
+        )
+    return pts
+
+
+def to_cloud(points, capacity=None):
+    n = len(points)
+    return make_cloud(
+        np.array([[p["x"], p["y"], p["z"]] for p in points], np.float32).reshape(n, 3),
+        intensity=np.array([p["intensity"] for p in points], np.float32),
+        row=np.array([p["row"] for p in points], np.int32),
+        col=np.array([p["col"] for p in points], np.int32),
+        t=np.array([p["t"] for p in points], np.uint32),
+        label=np.array([p["label"] for p in points], np.int32),
+        capacity=capacity,
+    )
+
+
+def ordered_ref_arrays(points, params):
+    ref = ref_impl.ordered_cloud_ref(points, params.n_scan, params.horizon_scan)
+    xyz = np.array([[p["x"], p["y"], p["z"]] for p in ref], np.float32)
+    return ref, xyz
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_ordering_matches_reference(seed):
+    rng = np.random.default_rng(seed)
+    points = random_points(rng, 300, SMALL)
+    ref, ref_xyz = ordered_ref_arrays(points, SMALL)
+    ours = get_ordered_cloud(to_cloud(points), SMALL)
+    np.testing.assert_array_equal(np.asarray(ours.xyz), ref_xyz)
+    np.testing.assert_array_equal(
+        np.asarray(ours.intensity), [p["intensity"] for p in ref]
+    )
+    np.testing.assert_array_equal(np.asarray(ours.label), [p["label"] for p in ref])
+    np.testing.assert_array_equal(np.asarray(ours.row), [p["row"] for p in ref])
+
+
+def test_ordering_last_point_wins():
+    pts = random_points(np.random.default_rng(3), 4, SMALL)
+    for p in pts:
+        p["row"], p["col"] = 5, 7  # all collide
+    ours = get_ordered_cloud(to_cloud(pts), SMALL)
+    idx = 5 * SMALL.horizon_scan + 7
+    assert float(np.asarray(ours.x)[idx]) == pts[-1]["x"]
+
+
+def test_ordering_padding_points_ignored():
+    pts = random_points(np.random.default_rng(4), 10, SMALL)
+    cloud_padded = to_cloud(pts, capacity=64)  # 54 zero-padding slots
+    cloud_exact = to_cloud(pts)
+    a = get_ordered_cloud(cloud_padded, SMALL)
+    b = get_ordered_cloud(cloud_exact, SMALL)
+    np.testing.assert_array_equal(np.asarray(a.xyz), np.asarray(b.xyz))
+
+
+@pytest.mark.parametrize("seed,neg1", [(0, 0.2), (1, 0.0), (2, 1.0), (3, 0.5)])
+def test_ground_marking_matches_reference(seed, neg1):
+    rng = np.random.default_rng(seed)
+    # ground-like scene: low-z ring points plus some towers
+    points = random_points(rng, 400, SMALL, intensity_neg1_frac=neg1)
+    for p in points:
+        if rng.random() < 0.6:
+            p["z"] = float(np.float32(rng.uniform(-2.1, -1.7)))  # ground band
+    ref_cloud, _ = ordered_ref_arrays(points, SMALL)
+    gm_ref = ref_impl.mark_ground_ref(
+        ref_cloud, SMALL.n_scan, SMALL.horizon_scan, SMALL.ground_upper_scan
+    )
+    ordered = get_ordered_cloud(to_cloud(points), SMALL)
+    labeled, gm = mark_ground(ordered, SMALL)
+    np.testing.assert_array_equal(np.asarray(gm), gm_ref)
+    np.testing.assert_array_equal(
+        np.asarray(labeled.label), [p["label"] for p in ref_cloud]
+    )
+
+
+def test_ground_kitti_intensity_quirk():
+    # KITTI-selected clouds have intensity = -1 on every real point → every
+    # swept pair whose lower point is real is invalid, so no swept-row cell
+    # can keep a ground mark (SURVEY.md §2.4.2).  The one reference leak:
+    # row r_min-1 is written by the sweep's top row but never re-checked
+    # (BatchMultiBevGen.cpp:140,181), so it may still be marked via empty
+    # cells — we preserve that bit-for-bit.
+    rng = np.random.default_rng(7)
+    points = random_points(rng, 300, SMALL, intensity_neg1_frac=1.0)
+    ordered = get_ordered_cloud(to_cloud(points), SMALL)
+    labeled, gm = mark_ground(ordered, SMALL)
+    gm = np.asarray(gm)
+    r_min = SMALL.n_scan - SMALL.ground_upper_scan
+    # real points (intensity -1) in swept rows always fail the validity test,
+    # so no swept *real* cell keeps a ground mark (empty cells have
+    # intensity 0 and can still be marked — they are not real points)
+    lab = np.asarray(labeled.label).reshape(SMALL.n_scan, SMALL.horizon_scan)
+    orig = np.asarray(ordered.label).reshape(SMALL.n_scan, SMALL.horizon_scan)
+    assert not np.any((orig[r_min:] == -2) & (lab[r_min:] == 0))
+    assert not np.any((orig[r_min:] == -2) & (gm[r_min:] == 1))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bev_rasters_match_reference(seed):
+    rng = np.random.default_rng(seed)
+    points = random_points(rng, 500, SMALL, intensity_neg1_frac=0.1)
+    for p in points:
+        if rng.random() < 0.5:
+            p["z"] = float(np.float32(rng.uniform(-2.1, -1.7)))
+    ref_cloud, _ = ordered_ref_arrays(points, SMALL)
+    ref_impl.mark_ground_ref(
+        ref_cloud, SMALL.n_scan, SMALL.horizon_scan, SMALL.ground_upper_scan
+    )
+    ordered = get_ordered_cloud(to_cloud(points), SMALL)
+    labeled, _ = mark_ground(ordered, SMALL)
+
+    multi_ref = ref_impl.multi_bev_ref(ref_cloud, SMALL.height_res)
+    ours_multi = multi_bev(labeled, SMALL.height_res, MultiBevConfig())
+    np.testing.assert_array_equal(np.asarray(ours_multi), multi_ref)
+
+    single_ref = ref_impl.single_bev_ref(ref_cloud)
+    ours_single = single_bev(labeled, SingleBevConfig())
+    np.testing.assert_array_equal(np.asarray(ours_single), single_ref)
+
+    for filt in (True, False):
+        fb_ref = ref_impl.float_bev_ref(ref_cloud, filter_ground=filt)
+        ours_fb = float_bev(labeled, FloatBevConfig(filter_ground=filt))
+        np.testing.assert_allclose(np.asarray(ours_fb), fb_ref, rtol=0, atol=0)
+
+
+def test_bev_permutation_invariance():
+    rng = np.random.default_rng(9)
+    points = random_points(rng, 200, SMALL, intensity_neg1_frac=0.0)
+    # unique cells so ordering can't differ under permutation
+    seen = set()
+    uniq = []
+    for p in points:
+        key = (p["row"], p["col"])
+        if key not in seen:
+            seen.add(key)
+            uniq.append(p)
+    a = get_ordered_cloud(to_cloud(uniq), SMALL)
+    b = get_ordered_cloud(to_cloud(list(reversed(uniq))), SMALL)
+    la, _ = mark_ground(a, SMALL)
+    lb, _ = mark_ground(b, SMALL)
+    np.testing.assert_array_equal(
+        np.asarray(multi_bev(la, SMALL.height_res)),
+        np.asarray(multi_bev(lb, SMALL.height_res)),
+    )
+
+
+def test_full_sensor_shapes_compile():
+    # HDL_64E-sized shapes go through the fused path (CPU jax, one cloud)
+    from pctpu.config import get_sensor_params
+    from pctpu.ops.preprocess import preprocess_cloud
+
+    params = get_sensor_params("HDL_64E")
+    rng = np.random.default_rng(0)
+    n = 5000
+    pts = random_points(rng, n, params, intensity_neg1_frac=0.1)
+    cloud = to_cloud(pts, capacity=params.grid_size)
+    labeled, multi, single = preprocess_cloud(cloud, params)
+    assert multi.shape == (24, 224, 224)
+    assert single.shape == (224, 224)
+    assert labeled.capacity == params.grid_size

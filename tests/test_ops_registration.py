@@ -1,0 +1,208 @@
+"""Differential + property tests for the registration ops (CPU jax)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pctpu.cloud import make_cloud
+from pctpu.config import COARSE_ICP, FINE_ICP, IcpConfig
+from pctpu.geom.se3 import yaw_rotation_4x4
+from pctpu.ops.icp import icp_point_to_plane, icp_point_to_point
+from pctpu.ops.knn import knn, nn_1
+from pctpu.ops.normals2d import normals_2d
+from pctpu.ops.topflatten import extract_top_and_flatten
+from pctpu.ops.voxel import voxel_downsample
+
+from . import ref_impl
+
+
+def scene_cloud(rng, n_clusters=6, pts_per_cluster=80, ground_frac=0.3):
+    """Clustered 'building' points (label -2) + scattered ground (label 0)."""
+    pts = []
+    for _ in range(n_clusters):
+        cx, cy = rng.uniform(-60, 60, 2)
+        for _ in range(pts_per_cluster):
+            pts.append(
+                {
+                    "x": float(np.float32(cx + rng.normal(0, 3))),
+                    "y": float(np.float32(cy + rng.normal(0, 3))),
+                    "z": float(np.float32(rng.uniform(0, 8))),
+                    "label": -2,
+                }
+            )
+    n_ground = int(len(pts) * ground_frac)
+    for _ in range(n_ground):
+        pts.append(
+            {
+                "x": float(np.float32(rng.uniform(-80, 80))),
+                "y": float(np.float32(rng.uniform(-80, 80))),
+                "z": float(np.float32(rng.uniform(-2.0, -1.8))),
+                "label": 0,
+            }
+        )
+    return pts
+
+
+def to_cloud(points, capacity=None):
+    n = len(points)
+    xyz = np.array([[p["x"], p["y"], p["z"]] for p in points], np.float32)
+    return make_cloud(
+        xyz,
+        label=np.array([p["label"] for p in points], np.int32),
+        capacity=capacity,
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_top_flatten_matches_reference(seed):
+    rng = np.random.default_rng(seed)
+    pts = scene_cloud(rng)
+    ref = np.asarray(ref_impl.top_flatten_ref(pts), np.float32).reshape(-1, 3)
+    xyz, mask, count = extract_top_and_flatten(to_cloud(pts, capacity=1024))
+    got = np.asarray(xyz)[np.asarray(mask)]
+    assert int(count) == len(ref)
+    # same point multiset (equal-z ties may permute inside a cell)
+    def lexsorted(a):
+        return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
+
+    np.testing.assert_array_equal(lexsorted(got), lexsorted(ref))
+
+
+def test_top_flatten_order_is_reference_order():
+    rng = np.random.default_rng(3)
+    pts = scene_cloud(rng)
+    # make z strictly unique to eliminate tie ambiguity
+    for i, p in enumerate(pts):
+        p["z"] = float(np.float32(p["z"] + i * 1e-4))
+    ref = np.asarray(ref_impl.top_flatten_ref(pts), np.float32).reshape(-1, 3)
+    xyz, mask, count = extract_top_and_flatten(to_cloud(pts, capacity=1024))
+    got = np.asarray(xyz)[: int(count)]
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_voxel_matches_reference(seed):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-10, 10, (500, 3)).astype(np.float32)
+    ref = ref_impl.voxel_ref(pts, 0.5)
+    out, valid, count = voxel_downsample(pts, np.ones(500, bool), 0.5)
+    got = np.asarray(out)[: int(count)]
+    assert int(count) == len(ref)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_voxel_with_padding():
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-5, 5, (100, 3)).astype(np.float32)
+    padded = np.concatenate([pts, np.full((28, 3), 1e6, np.float32)])
+    mask = np.concatenate([np.ones(100, bool), np.zeros(28, bool)])
+    out_a, _, count_a = voxel_downsample(padded, mask, 0.5)
+    ref = ref_impl.voxel_ref(pts, 0.5)
+    np.testing.assert_allclose(np.asarray(out_a)[: int(count_a)], ref, atol=1e-5)
+
+
+def test_nn1_and_knn_exact():
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((77, 3)).astype(np.float32)
+    t = rng.standard_normal((133, 3)).astype(np.float32)
+    idx, d2 = nn_1(q, np.ones(77, bool), t, np.ones(133, bool), tile=32)
+    full = ((q[:, None] - t[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(idx), full.argmin(1))
+    np.testing.assert_allclose(np.asarray(d2), full.min(1), rtol=1e-4, atol=1e-4)
+
+    kidx, kd2 = knn(q, np.ones(77, bool), t, np.ones(133, bool), k=2)
+    order = np.argsort(full, axis=1)[:, :2]
+    np.testing.assert_array_equal(np.asarray(kidx), order)
+
+
+def test_nn1_respects_masks():
+    q = np.zeros((4, 3), np.float32)
+    t = np.stack([np.zeros(3), np.ones(3) * 5], 0).astype(np.float32)
+    idx, d2 = nn_1(
+        q, np.array([True, True, False, True]), t, np.array([False, True])
+    )
+    assert np.all(np.asarray(idx) == 1)  # target 0 masked out
+    assert np.isinf(np.asarray(d2)[2])  # masked query
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_normals_match_reference(seed):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-8, 8, (300, 2)).astype(np.float32)
+    xyz = np.concatenate([pts, np.zeros((300, 1), np.float32)], axis=1)
+    ref_n, ref_valid = ref_impl.normals2d_ref(xyz, radius=2.0)
+    got_n, _, got_valid = normals_2d(xyz, np.ones(300, bool), radius=2.0, tile=64)
+    got_n = np.asarray(got_n)[:, :2]
+    np.testing.assert_array_equal(np.asarray(got_valid), ref_valid)
+    # sign-canonicalized by the viewpoint flip already; allow tiny numeric slack
+    dots = np.abs(np.sum(got_n[ref_valid] * ref_n[ref_valid], axis=1))
+    assert dots.min() > 1 - 1e-4
+
+
+def test_icp_point_to_point_recovers_transform():
+    rng = np.random.default_rng(0)
+    src = rng.uniform(-20, 20, (400, 3)).astype(np.float32)
+    t_true = yaw_rotation_4x4(math.radians(12.0)).astype(np.float32)
+    t_true[:3, 3] = [1.5, -0.8, 0.3]
+    tgt = src @ t_true[:3, :3].T + t_true[:3, 3]
+    cfg = IcpConfig(max_correspondence_distance=5.0, max_iterations=50,
+                    transformation_epsilon=1e-8)
+    res = icp_point_to_point(
+        src, np.ones(400, bool), tgt.astype(np.float32), np.ones(400, bool),
+        np.eye(4, dtype=np.float32), cfg, nn_tile=128,
+    )
+    assert bool(res.converged)
+    assert float(res.fitness) < 1e-6
+    np.testing.assert_allclose(np.asarray(res.transform), t_true, atol=1e-3)
+
+
+def test_icp_point_to_plane_recovers_yaw():
+    rng = np.random.default_rng(1)
+    # an L-shaped wall footprint in 2D (flat cloud)
+    a = np.stack([np.linspace(0, 30, 150), np.zeros(150)], 1)
+    b = np.stack([np.zeros(150), np.linspace(0, 30, 150)], 1)
+    pts2 = (np.concatenate([a, b]) + rng.normal(0, 0.02, (300, 2))).astype(np.float32)
+    src = np.concatenate([pts2, np.zeros((300, 1), np.float32)], 1)
+    t_true = yaw_rotation_4x4(math.radians(8.0)).astype(np.float32)
+    t_true[:3, 3] = [0.5, -0.4, 0.0]
+    tgt = (src @ t_true[:3, :3].T + t_true[:3, 3]).astype(np.float32)
+    normals, _, n_ok = normals_2d(tgt, np.ones(300, bool), radius=2.0, tile=64)
+    res = icp_point_to_plane(
+        src, np.ones(300, bool), tgt, np.ones(300, bool),
+        np.asarray(normals), np.asarray(n_ok),
+        np.eye(4, dtype=np.float32), COARSE_ICP, nn_tile=128,
+    )
+    got = np.asarray(res.transform)
+    yaw = math.degrees(math.atan2(got[1, 0], got[0, 0]))
+    assert abs(yaw - 8.0) < 0.5
+
+
+def test_icp_uses_initial_guess():
+    rng = np.random.default_rng(2)
+    src = rng.uniform(-20, 20, (300, 3)).astype(np.float32)
+    t_true = yaw_rotation_4x4(math.radians(170.0)).astype(np.float32)
+    tgt = (src @ t_true[:3, :3].T).astype(np.float32)
+    # fine ICP (1 m corr distance) can't recover 170° from identity…
+    res_id = icp_point_to_point(
+        src, np.ones(300, bool), tgt, np.ones(300, bool),
+        np.eye(4, dtype=np.float32), FINE_ICP, nn_tile=128,
+    )
+    # …but converges immediately from the true guess
+    res_guess = icp_point_to_point(
+        src, np.ones(300, bool), tgt, np.ones(300, bool),
+        t_true, FINE_ICP, nn_tile=128,
+    )
+    assert float(res_guess.fitness) < 1e-6
+    assert float(res_guess.fitness) < float(res_id.fitness)
+
+
+def test_icp_too_few_correspondences_not_converged():
+    src = np.array([[0, 0, 0], [100, 0, 0], [0, 100, 0]], np.float32)
+    tgt = np.array([[500, 500, 500]], np.float32)
+    cfg = IcpConfig(max_correspondence_distance=1.0, max_iterations=10)
+    res = icp_point_to_point(
+        src, np.ones(3, bool), tgt, np.ones(1, bool),
+        np.eye(4, dtype=np.float32), cfg, nn_tile=128,
+    )
+    assert not bool(res.converged)

@@ -1,0 +1,134 @@
+"""End-to-end two-stage registration on synthetic structured scenes."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from pctpu.cloud import make_cloud
+from pctpu.config import RegistrationConfig
+from pctpu.pipelines.registration import (
+    load_match_results,
+    register_pair,
+    run_batch_top_part_registration,
+)
+
+
+def synth_scene(rng, n_clusters=8):
+    """Buildings (label -2, ≥20 pts per 20 m cell) + ground plane points."""
+    pts = []
+    labels = []
+    for _ in range(n_clusters):
+        cx, cy = rng.uniform(-50, 50, 2)
+        n = 120
+        pts.append(
+            np.stack(
+                [
+                    cx + rng.normal(0, 4, n),
+                    cy + rng.normal(0, 4, n),
+                    rng.uniform(0, 9, n),
+                ],
+                axis=1,
+            )
+        )
+        labels.append(np.full(n, -2))
+    n_ground = 400
+    pts.append(
+        np.stack(
+            [
+                rng.uniform(-70, 70, n_ground),
+                rng.uniform(-70, 70, n_ground),
+                rng.uniform(-2.0, -1.9, n_ground),
+            ],
+            axis=1,
+        )
+    )
+    labels.append(np.zeros(n_ground))
+    return (
+        np.concatenate(pts).astype(np.float32),
+        np.concatenate(labels).astype(np.int32),
+    )
+
+
+def rigid(xyz, yaw_deg, t):
+    th = math.radians(yaw_deg)
+    c, s = math.cos(th), math.sin(th)
+    r = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    return xyz @ r.T + np.asarray(t, np.float32)
+
+
+@pytest.mark.slow
+def test_register_pair_recovers_relative_yaw():
+    rng = np.random.default_rng(0)
+    xyz, labels = synth_scene(rng)
+    # cloud_2 = scene seen from a pose rotated 25° and shifted
+    true_yaw = 25.0
+    xyz2 = rigid(xyz, true_yaw, [2.0, -1.0, 0.0]) + rng.normal(
+        0, 0.01, xyz.shape
+    ).astype(np.float32)
+    c1 = make_cloud(xyz, label=labels, capacity=2048)
+    c2 = make_cloud(xyz2, label=labels, capacity=2048)
+
+    best, fine = register_pair(c1, c2, angle_guess_deg=20.0, flat_cap=2048)
+    t_fine = np.asarray(fine.transform)
+    yaw = math.degrees(math.atan2(t_fine[1, 0], t_fine[0, 0]))
+    assert abs(yaw - true_yaw) < 0.5
+    assert float(fine.fitness) < 1.5
+    np.testing.assert_allclose(t_fine[:2, 3], [2.0, -1.0], atol=0.3)
+
+
+@pytest.mark.slow
+def test_register_pair_180_flip_guess():
+    # guess off by ~180°: the second coarse guess (θ+180°) must win
+    rng = np.random.default_rng(1)
+    xyz, labels = synth_scene(rng)
+    true_yaw = 10.0
+    xyz2 = rigid(xyz, true_yaw, [1.0, 0.5, 0.0]).astype(np.float32)
+    c1 = make_cloud(xyz, label=labels, capacity=2048)
+    c2 = make_cloud(xyz2, label=labels, capacity=2048)
+    best, fine = register_pair(c1, c2, angle_guess_deg=true_yaw - 180.0, flat_cap=2048)
+    t_fine = np.asarray(fine.transform)
+    yaw = math.degrees(math.atan2(t_fine[1, 0], t_fine[0, 0]))
+    assert abs(yaw - true_yaw) < 1.0
+
+
+@pytest.mark.slow
+def test_batch_driver_outputs_report(tmp_path):
+    from pctpu.io.pcd import write_pcd
+
+    rng = np.random.default_rng(2)
+    xyz, labels = synth_scene(rng)
+    xyz2 = rigid(xyz, 15.0, [1.0, 2.0, 0.0]).astype(np.float32)
+    cloud_dir = tmp_path / "clouds"
+    os.makedirs(cloud_dir)
+
+    def dump(idx, pts, labs):
+        n = len(pts)
+        write_pcd(
+            str(cloud_dir / f"{idx:06d}.pcd"),
+            {
+                "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+                "intensity": np.ones(n, np.float32),
+                "row": np.zeros(n, np.uint16), "col": np.zeros(n, np.uint16),
+                "t": np.zeros(n, np.uint32), "label": labs.astype(np.int16),
+            },
+        )
+
+    dump(0, xyz, labels)
+    dump(1, xyz2, labels)
+    match_file = tmp_path / "match_result.txt"
+    match_file.write_text("0 1 15.0\n")
+    report = tmp_path / "report.txt"
+
+    reports = run_batch_top_part_registration(
+        str(match_file), str(cloud_dir), report_path=str(report), flat_cap=2048
+    )
+    assert len(reports) == 1
+    assert reports[0].success
+    text = report.read_text().strip().split()
+    assert len(text) == 2  # "diff_xy diff_yaw"
+    assert float(text[0]) < 1.0
+
+    matches = load_match_results(str(match_file))
+    assert matches[0].query_idx == 0 and matches[0].angle_guess == 15.0
