@@ -41,6 +41,10 @@ def nn_1(
     Returns (index (Q,) int32, squared distance (Q,) float32); masked-out
     targets are +inf away, masked-out queries return index 0 / +inf.
     """
+    query = jnp.asarray(query)
+    query_mask = jnp.asarray(query_mask)
+    target = jnp.asarray(target)
+    target_mask = jnp.asarray(target_mask)
     q = query.shape[0]
     qp = _pad_rows(query, tile)
     qmask = _pad_rows(query_mask, tile)
@@ -55,10 +59,11 @@ def nn_1(
             + t_sq[None, :]
         )
         idx = jnp.argmin(d, axis=1).astype(jnp.int32)
-        best = jnp.take_along_axis(d, idx[:, None], axis=1)[:, 0]
-        # the expansion can dip microscopically below zero at zero distance
-        best = jnp.maximum(best, 0.0)
-        best = jnp.where(qm, best, _INF)
+        # re-derive the winner's distance directly: the expansion carries an
+        # absolute error ~|p|²·2⁻²⁴ that would floor fitness scores
+        diff = qt - target[idx]
+        best = jnp.sum(diff * diff, axis=1)
+        best = jnp.where(qm & target_mask[idx], best, _INF)
         return idx, best
 
     tiles_q = qp.reshape(-1, tile, 3)

@@ -15,25 +15,29 @@ from pctpu.pipelines.registration import (
 )
 
 
-def synth_scene(rng, n_clusters=8):
-    """Buildings (label -2, ≥20 pts per 20 m cell) + ground plane points."""
+def synth_scene(rng, n_clusters=12):
+    """Buildings (label -2, ≥20 pts per 20 m cell) + dense ground points.
+
+    Dense enough that the coarse stage anchors within the fine stage's 1 m
+    correspondence radius — sparser scenes are legitimately marginal for the
+    reference algorithm too (1 m maxCorr vs multi-metre point spacing)."""
     pts = []
     labels = []
     for _ in range(n_clusters):
         cx, cy = rng.uniform(-50, 50, 2)
-        n = 120
+        n = 150
         pts.append(
             np.stack(
                 [
-                    cx + rng.normal(0, 4, n),
-                    cy + rng.normal(0, 4, n),
+                    cx + rng.normal(0, 2.5, n),
+                    cy + rng.normal(0, 2.5, n),
                     rng.uniform(0, 9, n),
                 ],
                 axis=1,
             )
         )
         labels.append(np.full(n, -2))
-    n_ground = 400
+    n_ground = 1500
     pts.append(
         np.stack(
             [
@@ -67,10 +71,10 @@ def test_register_pair_recovers_relative_yaw():
     xyz2 = rigid(xyz, true_yaw, [2.0, -1.0, 0.0]) + rng.normal(
         0, 0.01, xyz.shape
     ).astype(np.float32)
-    c1 = make_cloud(xyz, label=labels, capacity=2048)
-    c2 = make_cloud(xyz2, label=labels, capacity=2048)
+    c1 = make_cloud(xyz, label=labels, capacity=4096)
+    c2 = make_cloud(xyz2, label=labels, capacity=4096)
 
-    best, fine = register_pair(c1, c2, angle_guess_deg=20.0, flat_cap=2048)
+    best, fine = register_pair(c1, c2, angle_guess_deg=20.0, flat_cap=4096)
     t_fine = np.asarray(fine.transform)
     yaw = math.degrees(math.atan2(t_fine[1, 0], t_fine[0, 0]))
     assert abs(yaw - true_yaw) < 0.5
@@ -85,9 +89,9 @@ def test_register_pair_180_flip_guess():
     xyz, labels = synth_scene(rng)
     true_yaw = 10.0
     xyz2 = rigid(xyz, true_yaw, [1.0, 0.5, 0.0]).astype(np.float32)
-    c1 = make_cloud(xyz, label=labels, capacity=2048)
-    c2 = make_cloud(xyz2, label=labels, capacity=2048)
-    best, fine = register_pair(c1, c2, angle_guess_deg=true_yaw - 180.0, flat_cap=2048)
+    c1 = make_cloud(xyz, label=labels, capacity=4096)
+    c2 = make_cloud(xyz2, label=labels, capacity=4096)
+    best, fine = register_pair(c1, c2, angle_guess_deg=true_yaw - 180.0, flat_cap=4096)
     t_fine = np.asarray(fine.transform)
     yaw = math.degrees(math.atan2(t_fine[1, 0], t_fine[0, 0]))
     assert abs(yaw - true_yaw) < 1.0
@@ -122,7 +126,7 @@ def test_batch_driver_outputs_report(tmp_path):
     report = tmp_path / "report.txt"
 
     reports = run_batch_top_part_registration(
-        str(match_file), str(cloud_dir), report_path=str(report), flat_cap=2048
+        str(match_file), str(cloud_dir), report_path=str(report), flat_cap=4096
     )
     assert len(reports) == 1
     assert reports[0].success
