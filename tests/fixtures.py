@@ -54,3 +54,68 @@ def make_kitti_tree(root: str, num_frames: int = 6, spacing: float = 3.0) -> Non
         f.write("\n".join(cam_rows) + "\n")
     with open(os.path.join(root, "times.txt"), "w") as f:
         f.write("\n".join(f"{i * 0.1:.6e}" for i in range(num_frames)) + "\n")
+
+
+def make_mulran_tree(root: str, num_frames: int = 5, spacing_m: float = 3.0) -> None:
+    """A MulRan-layout tree: sensor_data/Ouster/*.bin + stamps + global_pose.csv."""
+    rng = np.random.default_rng(1)
+    os.makedirs(os.path.join(root, "sensor_data", "Ouster"), exist_ok=True)
+    stamps = [1_000_000_000 + i * 100_000 for i in range(num_frames)]
+    # GT poses bracket the cloud stamps (one before, one after each)
+    pose_rows = []
+    for k in range(num_frames + 1):
+        t = 1_000_000_000 - 50_000 + k * 100_000
+        x = (k - 0.5) * spacing_m
+        # y offset 2.5 keeps frame 0 beyond the selector's origin sentinel
+        pose_rows.append(
+            f"{t},1.0,0.0,0.0,{x:.6f},0.0,1.0,0.0,2.5,0.0,0.0,1.0,0.0"
+        )
+    with open(os.path.join(root, "global_pose.csv"), "w") as f:
+        f.write("\n".join(pose_rows) + "\n")
+    with open(os.path.join(root, "sensor_data", "ouster_front_stamp.csv"), "w") as f:
+        f.write("\n".join(str(s) for s in stamps) + "\n")
+    for s in stamps:
+        n = 4096
+        pts = np.stack(
+            [
+                rng.uniform(-40, 40, n),
+                rng.uniform(-40, 40, n),
+                rng.uniform(-2, 6, n),
+                rng.random(n),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        pts.tofile(os.path.join(root, "sensor_data", "Ouster", f"{s:010d}.bin"))
+
+
+def make_oxford_tree(root: str, num_frames: int = 5, spacing_m: float = 3.0) -> None:
+    """An Oxford-layout tree: velodyne_left/*.bin + .timestamps + gps/ins.csv."""
+    rng = np.random.default_rng(2)
+    os.makedirs(os.path.join(root, "velodyne_left"), exist_ok=True)
+    os.makedirs(os.path.join(root, "gps"), exist_ok=True)
+    stamps = [1_500_000_000 + i * 100_000 for i in range(num_frames)]
+    header = (
+        "timestamp,ins_status,latitude,longitude,altitude,northing,easting,"
+        "down,utm_zone,velocity_north,velocity_east,velocity_down,roll,pitch,yaw"
+    )
+    rows = [header]
+    for k in range(num_frames + 1):
+        t = 1_500_000_000 - 50_000 + k * 100_000
+        easting = 600000.0 + (k - 0.5) * spacing_m
+        rows.append(
+            f"{t},INS_SOLUTION_GOOD,51.76,-1.26,114.7,5735848.0,{easting:.6f},"
+            f"-114.7,30U,0.1,0.0,0.0,0.01,0.02,0.03"
+        )
+    with open(os.path.join(root, "gps", "ins.csv"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+    with open(os.path.join(root, "velodyne_left.timestamps"), "w") as f:
+        f.write("\n".join(f"{s} 1" for s in stamps) + "\n")
+    for s in stamps:
+        n = 2048
+        x = rng.uniform(-40, 40, n).astype(np.float32)
+        y = rng.uniform(-40, 40, n).astype(np.float32)
+        z = rng.uniform(-4, 2, n).astype(np.float32)
+        i = rng.random(n).astype(np.float32)
+        np.concatenate([x, y, z, i]).tofile(
+            os.path.join(root, "velodyne_left", f"{s:010d}.bin")
+        )

@@ -1,0 +1,69 @@
+"""MulRan / Oxford selector end-to-end over synthetic layout trees."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pctpu.io.pcd import read_pcd
+from pctpu.io.poses import read_keyframe_poses
+
+from .fixtures import make_mulran_tree, make_oxford_tree
+
+
+def test_mulran_select_e2e(tmp_path):
+    from pctpu.pipelines.selectors import run_mulran_select
+
+    root = str(tmp_path / "mulran")
+    make_mulran_tree(root, num_frames=5, spacing_m=3.0)
+    n = run_mulran_select(root, 2.0)
+    assert n == 5  # 3 m spacing > 2 m gate
+    out = os.path.join(root, "selected_keyframes_2.00m")
+    files = sorted(os.listdir(os.path.join(out, "keyframe_point_cloud")))
+    assert files == [f"{i:06d}.pcd" for i in range(5)]
+    data, meta = read_pcd(os.path.join(out, "keyframe_point_cloud", "000000.pcd"))
+    assert meta["points"] == 4096
+    # MulRan keeps real intensity (no KITTI quirk) and labels -2
+    assert np.all(data["label"] == -2)
+    assert np.all(data["intensity"] >= 0)
+    np.testing.assert_array_equal(data["row"], np.arange(4096) % 64)
+
+    poses = read_keyframe_poses(os.path.join(out, "keyframe_pose.csv"))
+    assert len(poses) == 5
+    # cloud stamp sits midway between bracketing poses → x interpolates
+    # halfway between (k-0.5)*3 and (k+0.5)*3 = 3k
+    for i, (cloud_idx, pose) in enumerate(poses):
+        assert cloud_idx == i
+        assert pose.x == pytest.approx(3.0 * i, abs=1e-4)
+        assert pose.y == pytest.approx(2.5, abs=1e-4)
+
+
+def test_oxford_select_e2e(tmp_path):
+    from pctpu.pipelines.selectors import run_oxford_select
+
+    root = str(tmp_path / "oxford")
+    make_oxford_tree(root, num_frames=5, spacing_m=3.0)
+    n = run_oxford_select(root, 2.0)
+    assert n == 5
+    out = os.path.join(root, "selected_keyframes_2.00m")
+    data, meta = read_pcd(os.path.join(out, "keyframe_point_cloud", "000000.pcd"))
+    assert meta["points"] == 2048
+    assert np.all(data["label"] == -2)
+    assert data["row"].max() <= 31
+    poses = read_keyframe_poses(os.path.join(out, "keyframe_pose.csv"))
+    assert len(poses) == 5
+    # x = easting interpolated at midpoints → 600000 + 3k
+    for i, (cloud_idx, pose) in enumerate(poses):
+        assert pose.x == pytest.approx(600000.0 + 3.0 * i, rel=0, abs=0.51)
+
+
+def test_mulran_missing_cloud_skipped(tmp_path):
+    from pctpu.pipelines.selectors import run_mulran_select
+
+    root = str(tmp_path / "mulran")
+    make_mulran_tree(root, num_frames=3, spacing_m=3.0)
+    # delete one bin: reference logs and continues with an empty cloud
+    victim = sorted(os.listdir(os.path.join(root, "sensor_data", "Ouster")))[1]
+    os.remove(os.path.join(root, "sensor_data", "Ouster", victim))
+    n = run_mulran_select(root, 2.0)
+    assert n == 3  # pose row still written; pcd missing for the victim
