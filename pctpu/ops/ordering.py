@@ -7,8 +7,10 @@ points with out-of-bounds row/col are dropped; cells never hit stay all-zero
 input order wins.
 
 TPU design: the sequential "last wins" rule becomes one ``segment_max`` over
-point indices followed by a gather — a fixed-shape, fully parallel scatter
-that XLA lowers without any serialization on the point loop.
+point indices followed by a single row gather.  Dynamic gathers on v5e cost
+~1 ms per 133k indices *regardless of row width*, so all eight point fields
+are bitcast-packed into one (P, 8) int32 matrix and fetched with one gather
+instead of eight.
 """
 
 from __future__ import annotations
@@ -43,19 +45,26 @@ def get_ordered_cloud(cloud: Cloud, params: SensorParams) -> Cloud:
     occupied = winner >= 0
     src = jnp.where(occupied, winner, 0)
 
-    def _gather(field, dtype):
-        taken = jnp.take(field, src, axis=0)
-        zero = jnp.zeros((), dtype)
-        if taken.ndim == 2:
-            return jnp.where(occupied[:, None], taken, zero)
-        return jnp.where(occupied, taken, zero)
+    # one packed row gather instead of one gather per field
+    packed = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(cloud.xyz, jnp.int32),
+            jax.lax.bitcast_convert_type(cloud.intensity, jnp.int32)[:, None],
+            cloud.row[:, None],
+            cloud.col[:, None],
+            jax.lax.bitcast_convert_type(cloud.t, jnp.int32)[:, None],
+            cloud.label[:, None],
+        ],
+        axis=1,
+    )  # (P, 8) int32
+    taken = jnp.where(occupied[:, None], packed[src], 0)
 
     return Cloud(
-        xyz=_gather(cloud.xyz, jnp.float32),
-        intensity=_gather(cloud.intensity, jnp.float32),
-        row=_gather(cloud.row, jnp.int32),
-        col=_gather(cloud.col, jnp.int32),
-        t=_gather(cloud.t, jnp.uint32),
-        label=_gather(cloud.label, jnp.int32),
+        xyz=jax.lax.bitcast_convert_type(taken[:, 0:3], jnp.float32),
+        intensity=jax.lax.bitcast_convert_type(taken[:, 3], jnp.float32),
+        row=taken[:, 4],
+        col=taken[:, 5],
+        t=jax.lax.bitcast_convert_type(taken[:, 6], jnp.uint32),
+        label=taken[:, 7],
         count=jnp.asarray(g, jnp.int32),
     )

@@ -14,6 +14,7 @@ batch axis optionally sharded over a device mesh (pure data parallelism).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import shutil
 
@@ -30,7 +31,6 @@ from pctpu.config import (
 )
 from pctpu.io.csvfmt import write_csv
 from pctpu.io.pcd import write_pcd
-from pctpu.io.png import write_gray_png
 from pctpu.io.poses import read_keyframe_poses, save_labels
 from pctpu.ops.preprocess import preprocess_batch
 from pctpu.ops.select import keyframe_labels, select_major_frames
@@ -105,46 +105,52 @@ def run_multi_bev(
     timer = StageTimer()
     done = 0
     if files:
+        from pctpu.runtime.writer import AsyncWriter
+
         capacity = params.grid_size
         loader = batched_prefetch(
             files, batch_size, lambda f: load_xyzirct_arrays(f, capacity)
         )
-        for names, payloads in loader:
-            arrays = stack_batch(payloads)
-            with timer.stage("preprocess+bev", items=sum(1 for n in names if n)):
-                batch = Cloud(
-                    xyz=jax.numpy.asarray(arrays["xyz"]),
-                    intensity=jax.numpy.asarray(arrays["intensity"]),
-                    row=jax.numpy.asarray(arrays["row"]),
-                    col=jax.numpy.asarray(arrays["col"]),
-                    t=jax.numpy.asarray(arrays["t"]),
-                    label=jax.numpy.asarray(arrays["label"]),
-                    count=jax.numpy.asarray(arrays["count"]),
-                )
-                labeled, multi, single = preprocess_batch(
-                    batch, params, ground_cfg, multi_cfg, single_cfg
-                )
-                multi_h = np.asarray(multi)
-                single_h = np.asarray(single)
-                labeled_h = jax.device_get(labeled)
+        with AsyncWriter() as writer:
+            for names, payloads in loader:
+                arrays = stack_batch(payloads)
+                with timer.stage("preprocess+bev", items=sum(1 for n in names if n)):
+                    batch = Cloud(
+                        xyz=jax.numpy.asarray(arrays["xyz"]),
+                        intensity=jax.numpy.asarray(arrays["intensity"]),
+                        row=jax.numpy.asarray(arrays["row"]),
+                        col=jax.numpy.asarray(arrays["col"]),
+                        t=jax.numpy.asarray(arrays["t"]),
+                        label=jax.numpy.asarray(arrays["label"]),
+                        count=jax.numpy.asarray(arrays["count"]),
+                    )
+                    labeled, multi, single = preprocess_batch(
+                        batch, params, ground_cfg, multi_cfg, single_cfg
+                    )
+                    multi_h = np.asarray(multi)
+                    single_h = np.asarray(single)
+                    labeled_h = jax.device_get(labeled)
 
                 for bi, name in enumerate(names):
                     if name is None:
                         continue
                     short = _short_name(name)
                     log.info(f"Converting file: {short}")
-                    _write_outputs(
-                        short,
-                        labeled_h,
-                        bi,
-                        multi_h[bi],
-                        single_h[bi],
-                        bin_dir,
-                        img_dir,
-                        single_csv_dir,
-                        single_img_dir,
-                        non_ground_dir,
-                        write_pngs,
+                    writer.submit(
+                        functools.partial(
+                            _write_outputs,
+                            short,
+                            labeled_h,
+                            bi,
+                            multi_h[bi],
+                            single_h[bi],
+                            bin_dir,
+                            img_dir,
+                            single_csv_dir,
+                            single_img_dir,
+                            non_ground_dir,
+                            write_pngs,
+                        )
                     )
                     done += 1
 
@@ -179,15 +185,14 @@ def _write_outputs(
     non_ground_dir: str,
     write_pngs: bool,
 ) -> None:
+    from pctpu.runtime.native_io import write_multi_bev, write_png
+
     # multi-layer: one raw binary (layer-major, row-major) + 24 pngs
-    with open(bin_dir + short + ".bin", "wb") as f:
-        f.write(multi.tobytes())
+    write_multi_bev(
+        bin_dir + short + ".bin", img_dir + short + "/", multi, write_pngs=write_pngs
+    )
     if write_pngs:
-        cloud_img_dir = img_dir + short + "/"
-        os.makedirs(cloud_img_dir, exist_ok=True)
-        for layer_idx in range(multi.shape[0]):
-            write_gray_png(f"{cloud_img_dir}{layer_idx:02d}.png", multi[layer_idx])
-        write_gray_png(single_img_dir + short + ".png", single)
+        write_png(single_img_dir + short + ".png", single)
     write_csv(single_csv_dir + short + ".csv", single)
 
     # ground-labeled full ordered cloud (points are never deleted —

@@ -1,0 +1,111 @@
+"""ctypes bindings for the native IO accelerator (native/pctpu_io.cpp).
+
+Falls back to the pure-Python writers when the shared library is absent.
+The library is built on demand (g++ + zlib, both in the image); artifacts
+produced through either path decode identically (tests/test_native_io.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO, "native", "pctpu_io.cpp")
+_LIB = os.path.join(_REPO, "native", "libpctpu_io.so")
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_LIB) or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+            ):
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC, "-lz"],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_LIB)
+            lib.pctpu_write_png.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_char_p,
+            ]
+            lib.pctpu_write_png.restype = ctypes.c_int
+            lib.pctpu_write_multi_bev.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.pctpu_write_multi_bev.restype = ctypes.c_int
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def write_png(path: str, img: np.ndarray, level: int = 1) -> None:
+    """Write an 8-bit grayscale PNG (native if possible, else Python)."""
+    img = np.ascontiguousarray(img)
+    if img.dtype != np.uint8:
+        from pctpu.ops.rounding import cv_saturate_u8
+
+        img = cv_saturate_u8(img)
+    lib = _load()
+    if lib is not None:
+        rc = lib.pctpu_write_png(
+            img.ctypes.data, img.shape[0], img.shape[1], level, path.encode()
+        )
+        if rc == 0:
+            return
+    from pctpu.io.png import write_gray_png
+
+    write_gray_png(path, img, compress_level=level)
+
+
+def write_multi_bev(
+    bin_path: str,
+    img_dir: str,
+    multi: np.ndarray,
+    level: int = 1,
+    write_pngs: bool = True,
+) -> None:
+    """Write one cloud's multi-BEV bin + per-layer PNGs."""
+    multi = np.ascontiguousarray(multi, np.uint8)
+    layers, h, w = multi.shape
+    lib = _load()
+    if lib is not None:
+        rc = lib.pctpu_write_multi_bev(
+            multi.ctypes.data, layers, h, w,
+            bin_path.encode(), img_dir.rstrip("/").encode(), level,
+            1 if write_pngs else 0,
+        )
+        if rc == 0:
+            return
+    # Python fallback
+    with open(bin_path, "wb") as f:
+        f.write(multi.tobytes())
+    if write_pngs:
+        os.makedirs(img_dir, exist_ok=True)
+        from pctpu.io.png import write_gray_png
+
+        for layer in range(layers):
+            write_gray_png(
+                os.path.join(img_dir, f"{layer:02d}.png"), multi[layer], level
+            )
