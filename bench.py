@@ -38,13 +38,17 @@ def measure_baseline() -> float:
             check=True,
             cwd=REPO,
         )
-    out = subprocess.run(
-        [exe, str(BASELINE_CLOUDS), str(N_POINTS)],
-        check=True,
-        capture_output=True,
-        text=True,
-    ).stdout
-    return float(json.loads(out)["ms_per_cloud"])
+    # best of 3 to resist host-load noise (single shared CPU core)
+    best = float("inf")
+    for _ in range(3):
+        out = subprocess.run(
+            [exe, str(BASELINE_CLOUDS), str(N_POINTS)],
+            check=True,
+            capture_output=True,
+            text=True,
+        ).stdout
+        best = min(best, float(json.loads(out)["ms_per_cloud"]))
+    return best
 
 
 def synth_batch(params, batch: int, n_points: int, seed: int):
@@ -146,10 +150,63 @@ def measure_tpu() -> float:
     return k_stack * reps * BATCH / dt_compute
 
 
+def measure_registration() -> float:
+    """Fused two-stage registration pairs/sec on 65k-point synthetic scenes."""
+    import time as _time
+
+    import numpy as np
+
+    from pctpu.cloud import make_cloud
+    from pctpu.pipelines.registration import register_pair
+
+    rng = np.random.default_rng(0)
+    pts, labels = [], []
+    for _ in range(40):
+        cx, cy = rng.uniform(-60, 60, 2)
+        n = 150
+        pts.append(
+            np.stack([cx + rng.normal(0, 2.5, n), cy + rng.normal(0, 2.5, n),
+                      rng.uniform(0, 9, n)], 1)
+        )
+        labels.append(np.full(n, -2))
+    ng = 45000
+    pts.append(np.stack([rng.uniform(-70, 70, ng), rng.uniform(-70, 70, ng),
+                         rng.uniform(-2.0, -1.9, ng)], 1))
+    labels.append(np.zeros(ng))
+    xyz = np.concatenate(pts).astype(np.float32)
+    lab = np.concatenate(labels).astype(np.int32)
+    th = np.radians(17.0)
+    rot = np.array([[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0],
+                    [0, 0, 1]], np.float32)
+    xyz2 = xyz @ rot.T + np.array([1.5, -2.0, 0], np.float32)
+    c1 = make_cloud(xyz, label=lab, capacity=65536)
+    c2 = make_cloud(xyz2, label=lab, capacity=65536)
+    register_pair(c1, c2, 17.0, flat_cap=16384)  # compile
+    t0 = _time.perf_counter()
+    n_pairs = 4
+    for i in range(n_pairs):
+        register_pair(c1, c2, 17.0 + i * 1e-4, flat_cap=16384)
+    return n_pairs / (_time.perf_counter() - t0)
+
+
 def main() -> int:
+    details = "--details" in sys.argv
     baseline_ms = measure_baseline()
     baseline_cps = 1000.0 / baseline_ms
     tpu_cps = measure_tpu()
+    if details:
+        pairs_per_sec = measure_registration()
+        with open(os.path.join(REPO, "bench_details.json"), "w") as f:
+            json.dump(
+                {
+                    "hdl64e_multibev_clouds_per_sec": round(tpu_cps, 3),
+                    "baseline_single_core_clouds_per_sec": round(baseline_cps, 3),
+                    "baseline_ms_per_cloud": baseline_ms,
+                    "registration_pairs_per_sec_65k": round(pairs_per_sec, 3),
+                },
+                f,
+                indent=2,
+            )
     print(
         json.dumps(
             {

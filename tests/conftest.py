@@ -3,12 +3,17 @@ run anywhere (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the environment exports JAX_PLATFORMS=axon (the tunneled TPU),
+# but tests must run hermetically on virtual CPU devices
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402  (must configure before backend init)
 
 try:
+    # both updates are required: setting jax_platforms via config (not just
+    # the env var) is what makes jax_num_cpu_devices take effect
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 except RuntimeError:
     pass  # backend already initialized (e.g. plugin import order)
