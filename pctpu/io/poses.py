@@ -16,11 +16,13 @@ import numpy as np
 
 from pctpu.geom.se3 import Pose6f
 
+# the C++ multi-line literal is line-spliced, so the continuation lines'
+# 13-space indentation is part of the output (KittiPointCloudSelect.cpp:417-422)
 POSE_FORMAT_HEADER = (
     "cloud_idx, x, y, z, roll, pitch, yaw, "
-    "            rotation_matrix(0 0), rotation_matrix(0 1), rotation_matrix(0 2), "
-    "            rotation_matrix(1 0), rotation_matrix(1 1), rotation_matrix(1 2), "
-    "            rotation_matrix(2 0), rotation_matrix(2 1), rotation_matrix(2 2)"
+    "             rotation_matrix(0 0), rotation_matrix(0 1), rotation_matrix(0 2), "
+    "             rotation_matrix(1 0), rotation_matrix(1 1), rotation_matrix(1 2), "
+    "             rotation_matrix(2 0), rotation_matrix(2 1), rotation_matrix(2 2)"
 )
 
 

@@ -196,3 +196,17 @@ def test_full_sensor_shapes_compile():
     assert multi.shape == (24, 224, 224)
     assert single.shape == (224, 224)
     assert labeled.capacity == params.grid_size
+
+
+@pytest.mark.parametrize("sensor", ["HDL_32E", "OS1_64"])
+def test_other_sensor_presets_compile(sensor):
+    from pctpu.config import get_sensor_params
+    from pctpu.ops.preprocess import preprocess_cloud
+
+    params = get_sensor_params(sensor)
+    rng = np.random.default_rng(0)
+    pts = random_points(rng, 2000, params, intensity_neg1_frac=0.1)
+    cloud = to_cloud(pts, capacity=params.grid_size)
+    labeled, multi, single = preprocess_cloud(cloud, params)
+    assert multi.shape == (24, 224, 224)
+    assert labeled.capacity == params.grid_size

@@ -166,3 +166,18 @@ def test_cloud_manip_e2e(tmp_path):
     for suffix in ("_input.csv", "_input.csv.png", "_output.csv", "_output.csv.png",
                    "_input.pcd", "_output.pcd"):
         assert os.path.exists(str(tmp_path / ("scan.pcd" + suffix)))
+
+
+def test_pose_format_file_is_byte_exact(tmp_path):
+    from pctpu.io.poses import write_pose_format_file
+
+    p = str(tmp_path / "keyframe_pose_format.csv")
+    write_pose_format_file(p)
+    content = open(p).read()
+    # exact line-spliced C++ literal incl. 13-space runs
+    assert content == (
+        "cloud_idx, x, y, z, roll, pitch, yaw, "
+        "             rotation_matrix(0 0), rotation_matrix(0 1), rotation_matrix(0 2), "
+        "             rotation_matrix(1 0), rotation_matrix(1 1), rotation_matrix(1 2), "
+        "             rotation_matrix(2 0), rotation_matrix(2 1), rotation_matrix(2 2)\n"
+    )
