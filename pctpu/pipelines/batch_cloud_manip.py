@@ -76,13 +76,14 @@ def run_batch_cloud_manip(
         for names, payloads in loader:
             arrays = stack_batch(payloads)
             with timer.stage("bev", items=sum(1 for n in names if n)):
+                # loader ships narrow on-disk widths; widen on device
                 batch = Cloud(
                     xyz=jax.numpy.asarray(arrays["xyz"]),
                     intensity=jax.numpy.asarray(arrays["intensity"]),
-                    row=jax.numpy.asarray(arrays["row"]),
-                    col=jax.numpy.asarray(arrays["col"]),
+                    row=jax.numpy.asarray(arrays["row"]).astype(jax.numpy.int32),
+                    col=jax.numpy.asarray(arrays["col"]).astype(jax.numpy.int32),
                     t=jax.numpy.asarray(arrays["t"]),
-                    label=jax.numpy.asarray(arrays["label"]),
+                    label=jax.numpy.asarray(arrays["label"]).astype(jax.numpy.int32),
                     count=jax.numpy.asarray(arrays["count"]),
                 )
                 labeled, bevs = _process_batch(batch, params, ground_cfg, bev_cfg)

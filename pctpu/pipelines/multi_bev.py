@@ -43,6 +43,51 @@ from pctpu.runtime.loader import (
 from pctpu.runtime.profiler import StageTimer
 from pctpu.utils import logging as log
 
+import functools as _functools
+
+import jax.numpy as jnp
+
+
+@_functools.partial(
+    jax.jit, static_argnames=("params", "ground_cfg", "multi_cfg", "single_cfg")
+)
+def _preprocess_wire(
+    arrays: dict, params, ground_cfg, multi_cfg, single_cfg
+):
+    """Batched preprocess with narrow host↔device wire formats.
+
+    Transfers ride a tunnel here, so inputs arrive in their on-disk widths
+    (u16 row/col, i16 label) and widen on device; on the way back the
+    occupancy BEV is bit-packed (8×) and integer fields are re-narrowed.
+    """
+    clouds = Cloud(
+        xyz=arrays["xyz"],
+        intensity=arrays["intensity"],
+        row=arrays["row"].astype(jnp.int32),
+        col=arrays["col"].astype(jnp.int32),
+        t=arrays["t"],
+        label=arrays["label"].astype(jnp.int32),
+        count=arrays["count"],
+    )
+    labeled, multi, single = preprocess_batch(
+        clouds, params, ground_cfg, multi_cfg, single_cfg
+    )
+    # occupancy → bits (little-endian within each byte, like np.unpackbits
+    # with bitorder="little")
+    b, nl, s, _ = multi.shape
+    bits = (multi.reshape(b, nl, s, s // 8, 8) != 0).astype(jnp.uint8)
+    weights = (2 ** jnp.arange(8, dtype=jnp.uint32)).astype(jnp.uint8)
+    packed = jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32).astype(jnp.uint8)
+    wire = {
+        "xyz": labeled.xyz,
+        "intensity": labeled.intensity,
+        "row": labeled.row.astype(jnp.uint16),
+        "col": labeled.col.astype(jnp.uint16),
+        "t": labeled.t,
+        "label": labeled.label.astype(jnp.int16),
+    }
+    return wire, packed, single
+
 
 @dataclasses.dataclass
 class MultiBevOutputs:
@@ -115,21 +160,18 @@ def run_multi_bev(
             for names, payloads in loader:
                 arrays = stack_batch(payloads)
                 with timer.stage("preprocess+bev", items=sum(1 for n in names if n)):
-                    batch = Cloud(
-                        xyz=jax.numpy.asarray(arrays["xyz"]),
-                        intensity=jax.numpy.asarray(arrays["intensity"]),
-                        row=jax.numpy.asarray(arrays["row"]),
-                        col=jax.numpy.asarray(arrays["col"]),
-                        t=jax.numpy.asarray(arrays["t"]),
-                        label=jax.numpy.asarray(arrays["label"]),
-                        count=jax.numpy.asarray(arrays["count"]),
+                    wire, packed, single = _preprocess_wire(
+                        {k: jax.numpy.asarray(v) for k, v in arrays.items()},
+                        params, ground_cfg, multi_cfg, single_cfg,
                     )
-                    labeled, multi, single = preprocess_batch(
-                        batch, params, ground_cfg, multi_cfg, single_cfg
-                    )
-                    multi_h = np.asarray(multi)
+                    packed_h = np.asarray(packed)
                     single_h = np.asarray(single)
-                    labeled_h = jax.device_get(labeled)
+                    wire_h = jax.device_get(wire)
+                    s = single_h.shape[-1]
+                    multi_h = np.unpackbits(
+                        packed_h.reshape(packed_h.shape[0], -1), axis=1,
+                        bitorder="little",
+                    ).reshape(packed_h.shape[0], -1, s, s) * np.uint8(255)
 
                 for bi, name in enumerate(names):
                     if name is None:
@@ -140,7 +182,7 @@ def run_multi_bev(
                         functools.partial(
                             _write_outputs,
                             short,
-                            labeled_h,
+                            wire_h,
                             bi,
                             multi_h[bi],
                             single_h[bi],
@@ -174,7 +216,7 @@ def run_multi_bev(
 
 def _write_outputs(
     short: str,
-    labeled_h,
+    wire_h: dict,
     bi: int,
     multi: np.ndarray,
     single: np.ndarray,
@@ -197,19 +239,18 @@ def _write_outputs(
 
     # ground-labeled full ordered cloud (points are never deleted —
     # /root/reference/BatchMultiBevGen.cpp:754-756)
-    g = labeled_h.xyz.shape[-2]
-    xyz = np.asarray(labeled_h.xyz[bi])
+    xyz = np.asarray(wire_h["xyz"][bi])
     write_pcd(
         non_ground_dir + short + ".pcd",
         {
             "x": xyz[:, 0],
             "y": xyz[:, 1],
             "z": xyz[:, 2],
-            "intensity": np.asarray(labeled_h.intensity[bi]),
-            "row": np.asarray(labeled_h.row[bi]).astype(np.uint16),
-            "col": np.asarray(labeled_h.col[bi]).astype(np.uint16),
-            "t": np.asarray(labeled_h.t[bi]),
-            "label": np.asarray(labeled_h.label[bi]).astype(np.int16),
+            "intensity": np.asarray(wire_h["intensity"][bi]),
+            "row": np.asarray(wire_h["row"][bi]),
+            "col": np.asarray(wire_h["col"][bi]),
+            "t": np.asarray(wire_h["t"][bi]),
+            "label": np.asarray(wire_h["label"][bi]),
         },
-        width=g,
+        width=xyz.shape[0],
     )

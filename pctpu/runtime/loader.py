@@ -35,13 +35,14 @@ def load_xyzirct_arrays(path: str, capacity: int) -> dict[str, np.ndarray]:
 
     data, meta = read_pcd(path)
     n = min(meta["points"], capacity)
+    # narrow on-disk widths: the device widens after transfer
     out = {
         "xyz": np.zeros((capacity, 3), np.float32),
         "intensity": np.zeros((capacity,), np.float32),
-        "row": np.zeros((capacity,), np.int32),
-        "col": np.zeros((capacity,), np.int32),
+        "row": np.zeros((capacity,), np.uint16),
+        "col": np.zeros((capacity,), np.uint16),
         "t": np.zeros((capacity,), np.uint32),
-        "label": np.zeros((capacity,), np.int32),
+        "label": np.zeros((capacity,), np.int16),
         "count": np.int32(n),
     }
     out["xyz"][:n, 0] = data["x"][:n]
