@@ -55,22 +55,14 @@ def single_bev(cloud: Cloud, cfg: SingleBevConfig = SingleBevConfig()) -> jnp.nd
     """(mat, mat) uint8 max-height BEV."""
     s = cfg.mat_size
     cx, cy = _cell_xy(cloud.x, cloud.y, cfg.max_range, cfg.interval)
-    # C++ computes int((z + 2.0) * 4.0) in double then clamps to [0, 255]
-    # (/root/reference/BatchMultiBevGen.cpp:345-346).  With the default
-    # scale 4 and offset 2 this is exactly trunc64(4z + 8): 4z is exact in
-    # f32 and the +8 is an integer shift, so floor/ceil identities make it
-    # bit-exact without f64.
-    if cfg.height_scale == 4.0 and cfg.lidar_to_ground_height == 2.0:
-        u = cloud.z * jnp.float32(4.0)
-        height = jnp.where(
-            u >= -8.0,
-            jnp.floor(u).astype(jnp.int32) + 8,
-            jnp.ceil(u).astype(jnp.int32) + 8,
-        )
-    else:
-        height = jnp.trunc(
-            (cloud.z + cfg.lidar_to_ground_height) * cfg.height_scale
-        ).astype(jnp.int32)
+    # C++ computes int((z + LIDAR_TO_GROUND_HEIGHT) * 4.0): the offset is a
+    # *float* 2.0f, so z+2 rounds to f32 first; the ×4.0 double multiply is
+    # exact for the default power-of-two scale, so the all-f32 chain below is
+    # bit-exact (/root/reference/BatchMultiBevGen.cpp:345-346).
+    height = jnp.trunc(
+        (cloud.z + jnp.float32(cfg.lidar_to_ground_height))
+        * jnp.float32(cfg.height_scale)
+    ).astype(jnp.int32)
     height = jnp.clip(height, 0, 255).astype(jnp.uint8)
     ok = (
         (cx >= 0) & (cx < s) & (cy >= 0) & (cy < s)

@@ -73,19 +73,17 @@ def _small_table_lookup(
 def _belonging_grid(x: jnp.ndarray, y: jnp.ndarray, cfg: GroundConfig):
     """Point → ground-grid sector (/root/reference/BatchMultiBevGen.h:73-99).
 
-    The C++ computes floor((x + 75.0) / 2.0) in *double* on a float x.  With
-    the default 2 m cells that is bit-exactly expressible in f32:
-    x/2 is exact (power-of-two divide), and floor(t + 37.5) =
-    floor(t) + 37 + (frac(t) >= 0.5) with an exact fraction — no f64 needed.
+    The C++ stores ``x + 75.0`` into a *float* local (one f32 rounding —
+    identical to an f32 add) and then floors the double quotient ``/ 2.0``;
+    division by the default power-of-two cell is exact in f32, so the f32
+    add + f32 divide below reproduces it bit-for-bit.
     """
-    if cfg.cell_size == 2.0 and cfg.offset_x == 75.0 and cfg.offset_y == 50.0:
-        tx = x * jnp.float32(0.5)
-        fx = jnp.floor(tx)
-        row = fx.astype(jnp.int32) + 37 + (tx - fx >= 0.5).astype(jnp.int32)
-        col = jnp.floor(y * jnp.float32(0.5)).astype(jnp.int32) + 25
-    else:
-        row = jnp.floor((x + cfg.offset_x) / cfg.cell_size).astype(jnp.int32)
-        col = jnp.floor((y + cfg.offset_y) / cfg.cell_size).astype(jnp.int32)
+    row = jnp.floor(
+        (x + jnp.float32(cfg.offset_x)) / jnp.float32(cfg.cell_size)
+    ).astype(jnp.int32)
+    col = jnp.floor(
+        (y + jnp.float32(cfg.offset_y)) / jnp.float32(cfg.cell_size)
+    ).astype(jnp.int32)
     row = jnp.clip(row, 0, cfg.grid_rows - 1)
     col = jnp.clip(col, 0, cfg.grid_cols - 1)
     return row, col

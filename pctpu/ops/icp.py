@@ -190,8 +190,8 @@ def _icp_impl(
         jnp.bool_(False),
     )
     it, final_t, _, _, conv = jax.lax.while_loop(cond, body, init)
-    # max-iteration exit without explicit convergence still counts converged
-    conv = conv | (it >= cfg.max_iterations)
+    # (a <3-correspondence abort keeps conv False even on the last iteration,
+    # matching PCL's converged_=false break)
 
     # fitness: mean squared NN distance over all source points (default
     # max_range → every point counts), against the plain target mask

@@ -82,7 +82,7 @@ def keyframe_labels(
     m = len(major_indices)
     labels = np.zeros((n, m), np.float32)
     major_pos = positions[np.asarray(major_indices, np.int64)]
-    eps = np.float32(cfg.label_weight_epsilon)
+    eps = float(cfg.label_weight_epsilon)  # double literal, like the C++ 1e-5
     for i in range(n):
         d2 = np.sum((major_pos - positions[i]) ** 2, axis=1, dtype=np.float32)
         order = np.argsort(d2, kind="stable")
@@ -94,8 +94,11 @@ def keyframe_labels(
             labels[i, c0] = 1.0
             continue
         c1 = int(order[1])
-        w0 = np.float32(1.0) / (d2[c0] + eps)
-        w1 = np.float32(1.0) / (d2[c1] + eps)
+        # C++: 1.0f / (f32_d2 + 1e-5) promotes to double (the literal is a
+        # double), then stores into a float; normalization is f32
+        # (/root/reference/BatchMultiBevGen.cpp:623-627)
+        w0 = np.float32(1.0 / (np.float64(d2[c0]) + eps))
+        w1 = np.float32(1.0 / (np.float64(d2[c1]) + eps))
         s = w0 + w1
         labels[i, c0] = w0 / s
         labels[i, c1] = w1 / s

@@ -33,7 +33,13 @@ def voxel_downsample(
     maxs = jnp.max(jnp.where(mask[:, None], xyz, -big), axis=0)
     max_b = jnp.floor(maxs * inv).astype(jnp.int32)
     div = max_b - min_b + 1
-    rel = ijk - min_b
+    # int32-overflow guard: pcl::VoxelGrid bails when dx*dy*dz exceeds
+    # INT32_MAX; here the per-axis extent is capped instead (2048·2048·256 =
+    # 2³⁰ keys) — stray far returns clamp into boundary voxels rather than
+    # aliasing unrelated cells (documented divergence for >400 m extents).
+    budget = jnp.array([2048, 2048, 256], jnp.int32)
+    div = jnp.minimum(div, budget)
+    rel = jnp.clip(ijk - min_b, 0, div - 1)
     key = rel[:, 0] + rel[:, 1] * div[0] + rel[:, 2] * div[0] * div[1]
     sentinel = div[0] * div[1] * div[2]
     key = jnp.where(mask, key, sentinel)

@@ -29,6 +29,7 @@ from pctpu.runtime.loader import (
     load_xyzirct_arrays,
     stack_batch,
 )
+from pctpu.pipelines.multi_bev import _short_name as _short
 from pctpu.runtime.profiler import StageTimer
 from pctpu.utils import logging as log
 
@@ -115,8 +116,3 @@ def run_batch_cloud_manip(
     log.info(f"[TIME] Average preprocessing and BEV generation: {avg}")
     log.info("Done. ")
     return avg
-
-
-def _short(path: str) -> str:
-    base = os.path.basename(path)
-    return base[: base.rfind(".")] if "." in base else base

@@ -43,12 +43,10 @@ from pctpu.runtime.loader import (
 from pctpu.runtime.profiler import StageTimer
 from pctpu.utils import logging as log
 
-import functools as _functools
-
 import jax.numpy as jnp
 
 
-@_functools.partial(
+@functools.partial(
     jax.jit, static_argnames=("params", "ground_cfg", "multi_cfg", "single_cfg")
 )
 def _preprocess_wire(
@@ -117,7 +115,6 @@ def run_multi_bev(
     sensor: str | SensorParams,
     batch_size: int = 8,
     resume: bool = False,
-    devices: list | None = None,
     write_pngs: bool = True,
 ) -> MultiBevOutputs:
     """Run the full batch_multi_bev_gen pipeline over a keyframe tree."""

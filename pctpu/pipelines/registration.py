@@ -27,6 +27,7 @@ from pctpu.cloud import Cloud
 from pctpu.config import RegistrationConfig
 from pctpu.geom.se3 import yaw_rotation_4x4
 from pctpu.io.pcd import load_cloud_pcd
+from pctpu.io.poses import _ostream_float  # C++ ostream<<float emulation
 from pctpu.ops.icp import icp_point_to_plane, icp_point_to_point
 from pctpu.ops.normals2d import normals_2d
 from pctpu.ops.topflatten import extract_top_and_flatten
@@ -68,15 +69,19 @@ class PairReport:
     transform_fine: np.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("flat_cap", "leaf", "radius"))
-def _prepare_flat(cloud: Cloud, flat_cap: int, leaf: float, radius: float):
+def _prepare_flat_inline(cloud: Cloud, flat_cap: int, leaf: float, radius: float):
     """top+flatten → voxel → 2-D normals, compacted into flat_cap slots."""
     xyz, mask, _ = extract_top_and_flatten(cloud)
     xyz = xyz[:flat_cap]
     mask = mask[:flat_cap]
     ds_xyz, ds_mask, _ = voxel_downsample(xyz, mask, leaf)
-    normals, curv, normal_ok = normals_2d(ds_xyz, ds_mask, radius=radius)
+    normals, _, normal_ok = normals_2d(ds_xyz, ds_mask, radius=radius)
     return ds_xyz, ds_mask, normals, normal_ok
+
+
+_prepare_flat = jax.jit(
+    _prepare_flat_inline, static_argnames=("flat_cap", "leaf", "radius")
+)
 
 
 @functools.partial(jax.jit, static_argnames=("leaf",))
@@ -128,15 +133,6 @@ def _register_pair_fused(
     t_xyz, t_mask, _ = voxel_downsample(cloud_2.xyz, cloud_2.valid_mask(), cfg.voxel_leaf)
     fine = icp_point_to_point(s_xyz, s_mask, t_xyz, t_mask, best.transform, cfg.fine)
     return best, fine
-
-
-def _prepare_flat_inline(cloud: Cloud, flat_cap: int, leaf: float, radius: float):
-    xyz, mask, _ = extract_top_and_flatten(cloud)
-    xyz = xyz[:flat_cap]
-    mask = mask[:flat_cap]
-    ds_xyz, ds_mask, _ = voxel_downsample(xyz, mask, leaf)
-    normals, _, normal_ok = normals_2d(ds_xyz, ds_mask, radius=radius)
-    return ds_xyz, ds_mask, normals, normal_ok
 
 
 def register_pair(
@@ -196,10 +192,6 @@ def _rotmat_to_euler_f32(r: np.ndarray) -> np.ndarray:
     )
 
 
-def _ostream_float(v: float) -> str:
-    return "%.6g" % float(v)
-
-
 def run_batch_top_part_registration(
     match_results_filename: str,
     point_cloud_dir: str,
@@ -228,6 +220,13 @@ def run_batch_top_part_registration(
             best, fine = register_pair(
                 c1, c2, m.angle_guess, cfg, flat_cap=flat_cap, timer=timer
             )
+            if fine is None:  # use_refinement=False: coarse only, no report
+                reports.append(
+                    PairReport(m.query_idx, m.match_idx, False,
+                               float(best.fitness), np.nan, np.nan, np.nan,
+                               np.asarray(best.transform))
+                )
+                continue
             t_coarse = np.asarray(best.transform)
             t_fine = np.asarray(fine.transform)
             fit_fine = float(fine.fitness)

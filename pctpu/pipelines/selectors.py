@@ -131,9 +131,13 @@ def _run_interpolating_select(
             if not found:
                 log.error(f"Could not find pose for cloud at timestamp: {stamp}")
                 continue
-            lam = float(stamp - gt_stamps[gt_idx - 1]) / float(
-                gt_stamps[gt_idx] - gt_stamps[gt_idx - 1]
-            )
+            # duplicate GT stamps give 0/0 in the reference's double math
+            # (NaN pose, frame still processed) — keep that, don't raise
+            with np.errstate(invalid="ignore", divide="ignore"):
+                lam = float(
+                    np.float64(stamp - gt_stamps[gt_idx - 1])
+                    / np.float64(gt_stamps[gt_idx] - gt_stamps[gt_idx - 1])
+                )
             pose = interpolate_pose(gt_poses[gt_idx - 1], gt_poses[gt_idx], lam)
             pos = pose.position()
             if _dist32(pos, last) < interval:

@@ -77,9 +77,12 @@ def mark_ground_ref(
                 gm[row - 1, col] = 1
 
     def belonging(idx):
-        # double arithmetic on the float members (BatchMultiBevGen.h:78-81)
-        sx = int(math.floor((float(np.float32(cloud[idx]["x"])) + 75.0) / 2.0))
-        sy = int(math.floor((float(np.float32(cloud[idx]["y"])) + 50.0) / 2.0))
+        # `float normalized_x = x + 75.0` stores the double sum into a float
+        # before the double /2.0 floor (BatchMultiBevGen.h:78-81)
+        nx = np.float32(np.float32(cloud[idx]["x"]) + np.float64(75.0))
+        ny = np.float32(np.float32(cloud[idx]["y"]) + np.float64(50.0))
+        sx = int(math.floor(float(nx) / 2.0))
+        sy = int(math.floor(float(ny) / 2.0))
         return min(max(sx, 0), grid_rows - 1), min(max(sy, 0), grid_cols - 1)
 
     for row in range(n_scan):
@@ -134,7 +137,9 @@ def single_bev_ref(cloud: list[dict]) -> np.ndarray:
     for p in cloud:
         x = _bev_cell(p["x"], max_range)
         y = _bev_cell(p["y"], max_range)
-        height = int((p["z"] + 2.0) * 4.0)
+        # LIDAR_TO_GROUND_HEIGHT is a float: z+2 rounds to f32, then *4.0 in
+        # double and int() truncation (BatchMultiBevGen.cpp:345-346)
+        height = int(float(np.float32(np.float32(p["z"]) + np.float32(2.0))) * 4.0)
         height = min(max(0, height), 255)
         if x < 0 or x >= size or y < 0 or y >= size or p["label"] == 0:
             continue

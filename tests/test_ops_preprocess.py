@@ -210,3 +210,29 @@ def test_other_sensor_presets_compile(sensor):
     labeled, multi, single = preprocess_cloud(cloud, params)
     assert multi.shape == (24, 224, 224)
     assert labeled.capacity == params.grid_size
+
+
+def test_boundary_value_parity():
+    """Adversarial f32/f64 boundary cases (from code review): values where a
+    missing intermediate f32 store flips a sector or a pixel height."""
+    # x = 0.99999994: f32(x+75.0) rounds UP to 76.0 → sector 38, not 37
+    pts = [
+        {"x": float(np.float32(0.99999994)), "y": 0.0,
+         "z": float(np.float32(0.24999997)), "intensity": 0.5,
+         "row": 8, "col": 3, "t": 0, "label": -2},
+        {"x": -1.0, "y": 1.0, "z": float(np.float32(-1.9)), "intensity": 0.5,
+         "row": 9, "col": 3, "t": 0, "label": -2},
+    ]
+    ref_cloud, _ = ordered_ref_arrays(pts, SMALL)
+    gm_ref = ref_impl.mark_ground_ref(
+        ref_cloud, SMALL.n_scan, SMALL.horizon_scan, SMALL.ground_upper_scan
+    )
+    ordered = get_ordered_cloud(to_cloud(pts), SMALL)
+    labeled, gm = mark_ground(ordered, SMALL)
+    np.testing.assert_array_equal(np.asarray(gm), gm_ref)
+
+    # z = 0.24999997: f32(z+2) == 2.25 exactly → height 9, not 8
+    sref = ref_impl.single_bev_ref(ref_cloud)
+    ours = single_bev(labeled, SingleBevConfig())
+    np.testing.assert_array_equal(np.asarray(ours), sref)
+    assert sref.max() == 9  # the boundary value itself
