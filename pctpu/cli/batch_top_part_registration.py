@@ -14,11 +14,14 @@ def main(argv=None) -> int:
         usage_exit(
             "Usage: batch_top_part_registration <match_result.txt> <point_cloud_dir>"
         )
+    capacity = kw.get("capacity")
     run_batch_top_part_registration(
         pos[0],
         pos[1],
         report_path=kw.get("report", "./icp_precision_report.txt"),
         flat_cap=int(kw.get("flat_cap", "32768")),
+        capacity=int(capacity) if capacity else None,
+        pair_batch=int(kw.get("pair_batch", "1")),
     )
     return 0
 

@@ -135,6 +135,47 @@ def _register_pair_fused(
     return best, fine
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "flat_cap"))
+def _register_pairs_vmapped(
+    clouds_1: Cloud, clouds_2: Cloud, guesses: jnp.ndarray,
+    cfg: RegistrationConfig, flat_cap: int,
+):
+    """Several pairs as one dispatch: Cloud fields carry a leading pair axis,
+    guesses is (n_pairs, 2, 4, 4)."""
+
+    def one(c1, c2, g):
+        return _register_pair_fused(c1, c2, g, cfg, flat_cap)
+
+    return jax.vmap(one, in_axes=(0, 0, 0))(clouds_1, clouds_2, guesses)
+
+
+def register_pairs(
+    pairs: list[tuple[Cloud, Cloud, float]],
+    cfg: RegistrationConfig = RegistrationConfig(),
+    flat_cap: int = 32768,
+):
+    """Batch several (cloud_1, cloud_2, yaw_guess_deg) pairs into one jitted
+    dispatch.  Returns a list of (best coarse, fine) numpy IcpResults in
+    input order.  All clouds must share one capacity."""
+    import jax.numpy as _jnp
+
+    c1 = jax.tree.map(lambda *xs: _jnp.stack(xs), *[p[0] for p in pairs])
+    c2 = jax.tree.map(lambda *xs: _jnp.stack(xs), *[p[1] for p in pairs])
+    guesses = _jnp.stack([_guess_pair(p[2]) for p in pairs])
+    best, fine = _register_pairs_vmapped(c1, c2, guesses, cfg, flat_cap)
+    best = jax.tree.map(np.asarray, jax.device_get(best))
+    fine = jax.tree.map(np.asarray, jax.device_get(fine))
+    out = []
+    for i in range(len(pairs)):
+        out.append(
+            (
+                jax.tree.map(lambda a: a[i], best),
+                jax.tree.map(lambda a: a[i], fine),
+            )
+        )
+    return out
+
+
 def register_pair(
     cloud_1: Cloud,
     cloud_2: Cloud,
@@ -199,27 +240,66 @@ def run_batch_top_part_registration(
     report_path: str = "./icp_precision_report.txt",
     capacity: int | None = None,
     flat_cap: int = 32768,
+    pair_batch: int = 1,
 ) -> list[PairReport]:
     """The batch evaluator.  Returns per-pair reports; writes the precision
-    report and prints the reference-style summary."""
+    report and prints the reference-style summary.
+
+    ``pair_batch > 1`` runs that many pairs as one vmapped device dispatch
+    (requires an explicit ``capacity`` so all clouds share one shape)."""
     matches = load_match_results(match_results_filename)
     timer = StageTimer()
     reports: list[PairReport] = []
     count_success = 0
     count_failure = 0
+    if pair_batch > 1 and capacity is None:
+        raise ValueError("pair_batch > 1 requires an explicit cloud capacity")
+
+    def result_stream():
+        """Yield (match, best, fine) — sequentially or pair-batched."""
+        if pair_batch <= 1:
+            for m in matches:
+                c1 = load_cloud_pcd(
+                    os.path.join(point_cloud_dir, f"{m.query_idx:06d}.pcd"), capacity
+                )
+                c2 = load_cloud_pcd(
+                    os.path.join(point_cloud_dir, f"{m.match_idx:06d}.pcd"), capacity
+                )
+                best, fine = register_pair(
+                    c1, c2, m.angle_guess, cfg, flat_cap=flat_cap, timer=timer
+                )
+                yield m, best, fine
+            return
+        for start in range(0, len(matches), pair_batch):
+            chunk = matches[start : start + pair_batch]
+            # a short tail repeats its last pair to keep the compiled shape
+            padded = chunk + [chunk[-1]] * (pair_batch - len(chunk))
+            pairs = [
+                (
+                    load_cloud_pcd(
+                        os.path.join(point_cloud_dir, f"{m.query_idx:06d}.pcd"),
+                        capacity,
+                    ),
+                    load_cloud_pcd(
+                        os.path.join(point_cloud_dir, f"{m.match_idx:06d}.pcd"),
+                        capacity,
+                    ),
+                    m.angle_guess,
+                )
+                for m in padded
+            ]
+            with timer.stage("coarse+fine", items=len(chunk)):
+                results = register_pairs(pairs, cfg, flat_cap=flat_cap)
+            dt = timer.totals_ms.pop("coarse+fine", 0.0)
+            timer.counts.pop("coarse+fine", None)
+            timer.totals_ms["coarse"] += dt / 2
+            timer.totals_ms["fine"] += dt / 2
+            for m, (best, fine) in zip(chunk, results):
+                yield m, best, fine
 
     with open(report_path, "w") as report:
-        for m in matches:
+        for m, best, fine in result_stream():
             log.green(f"Processing match: {m.query_idx} and {m.match_idx}")
-            c1 = load_cloud_pcd(
-                os.path.join(point_cloud_dir, f"{m.query_idx:06d}.pcd"), capacity
-            )
-            c2 = load_cloud_pcd(
-                os.path.join(point_cloud_dir, f"{m.match_idx:06d}.pcd"), capacity
-            )
-            best, fine = register_pair(
-                c1, c2, m.angle_guess, cfg, flat_cap=flat_cap, timer=timer
-            )
             if fine is None:  # use_refinement=False: coarse only, no report
                 reports.append(
                     PairReport(m.query_idx, m.match_idx, False,

@@ -136,3 +136,48 @@ def test_batch_driver_outputs_report(tmp_path):
 
     matches = load_match_results(str(match_file))
     assert matches[0].query_idx == 0 and matches[0].angle_guess == 15.0
+
+
+@pytest.mark.slow
+def test_pair_batched_driver_matches_sequential(tmp_path):
+    from pctpu.io.pcd import write_pcd
+    from pctpu.pipelines.registration import run_batch_top_part_registration
+
+    rng = np.random.default_rng(3)
+    xyz, labels = synth_scene(rng)
+    xyz2 = rigid(xyz, 12.0, [0.5, 1.0, 0.0]).astype(np.float32)
+    xyz3 = rigid(xyz, -8.0, [-1.0, 0.5, 0.0]).astype(np.float32)
+    cloud_dir = tmp_path / "clouds"
+    os.makedirs(cloud_dir)
+
+    def dump(idx, pts, labs):
+        n = len(pts)
+        write_pcd(
+            str(cloud_dir / f"{idx:06d}.pcd"),
+            {
+                "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+                "intensity": np.ones(n, np.float32),
+                "row": np.zeros(n, np.uint16), "col": np.zeros(n, np.uint16),
+                "t": np.zeros(n, np.uint32), "label": labs.astype(np.int16),
+            },
+        )
+
+    dump(0, xyz, labels)
+    dump(1, xyz2, labels)
+    dump(2, xyz3, labels)
+    match_file = tmp_path / "match_result.txt"
+    match_file.write_text("0 1 12.0\n0 2 -8.0\n2 1 20.0\n")
+
+    cap = len(xyz)
+    seq = run_batch_top_part_registration(
+        str(match_file), str(cloud_dir), report_path=str(tmp_path / "r1.txt"),
+        flat_cap=4096, capacity=cap, pair_batch=1,
+    )
+    bat = run_batch_top_part_registration(
+        str(match_file), str(cloud_dir), report_path=str(tmp_path / "r2.txt"),
+        flat_cap=4096, capacity=cap, pair_batch=2,  # 3 pairs → padded tail
+    )
+    assert [r.success for r in seq] == [r.success for r in bat]
+    for a, b in zip(seq, bat):
+        if a.success:
+            np.testing.assert_allclose(a.transform_fine, b.transform_fine, atol=2e-3)
