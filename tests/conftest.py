@@ -17,3 +17,12 @@ try:
     jax.config.update("jax_num_cpu_devices", 8)
 except RuntimeError:
     pass  # backend already initialized (e.g. plugin import order)
+
+# persistent compilation cache: the 1-core box spends minutes recompiling
+# otherwise; cache entries are keyed by jaxpr so correctness is unaffected
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
