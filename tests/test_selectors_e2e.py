@@ -67,3 +67,54 @@ def test_mulran_missing_cloud_skipped(tmp_path):
     os.remove(os.path.join(root, "sensor_data", "Ouster", victim))
     n = run_mulran_select(root, 2.0)
     assert n == 3  # pose row still written; pcd missing for the victim
+
+@pytest.mark.slow
+def test_mulran_to_multibev_integration(tmp_path):
+    """Full user flow: MulRan select → batch_multi_bev_gen (OS1_64).
+
+    Unlike KITTI (intensity=-1 quirk), MulRan keeps real intensity, so
+    ground marking is ACTIVE end-to-end: labels 0 must appear and ground
+    points must be excluded from the BEVs."""
+    from pctpu.pipelines.multi_bev import run_multi_bev
+    from pctpu.pipelines.selectors import run_mulran_select
+
+    root = str(tmp_path / "mulran")
+    # ground-heavy synthetic clouds: rewrite the fixture bins with a flat
+    # ground plane plus towers so the slope test fires
+    make_mulran_tree(root, num_frames=3, spacing_m=3.0)
+    rng = np.random.default_rng(7)
+    bin_dir = os.path.join(root, "sensor_data", "Ouster")
+    for name in os.listdir(bin_dir):
+        n = 4096
+        r = rng.uniform(3, 35, n)
+        az = rng.uniform(0, 2 * np.pi, n)
+        ground = rng.random(n) < 0.7
+        z = np.where(ground, -1.9 + rng.normal(0, 0.01, n), rng.uniform(0, 6, n))
+        pts = np.stack(
+            [r * np.cos(az), r * np.sin(az), z, rng.uniform(0.1, 1.0, n)], 1
+        ).astype(np.float32)
+        pts.tofile(os.path.join(bin_dir, name))
+
+    n_kf = run_mulran_select(root, 2.0)
+    assert n_kf == 3
+    tree = os.path.join(root, "selected_keyframes_2.00m")
+    out = run_multi_bev(tree, "OS1_64", batch_size=2)
+    assert out.num_clouds == 3
+
+    data, meta = read_pcd(os.path.join(tree, "non_ground_point_cloud", "000000.pcd"))
+    assert meta["points"] == 64 * 1024
+    n_ground = int((data["label"] == 0).sum())
+    n_nonground = int((data["label"] == -2).sum())
+    # ground marking fired on a ground-dominated scene
+    assert n_ground > 1000, f"expected active ground labeling, got {n_ground}"
+    assert n_nonground > 100
+
+    # ground exclusion: BEV layers near z=-1.9 (layer round(-1.9/1.0+2)=0)
+    # should be sparse relative to total ground points
+    blob = np.frombuffer(
+        open(os.path.join(tree, "output_multi_bev", "binary", "000000.bin"), "rb").read(),
+        np.uint8,
+    ).reshape(24, 224, 224)
+    assert blob.sum() > 0  # non-ground towers present
+    occupied_layer0 = int((blob[0] > 0).sum())
+    assert occupied_layer0 < n_ground / 4  # most ground points filtered out
