@@ -9,7 +9,30 @@ Layers (see SURVEY.md §7):
   pctpu.pipelines               batch drivers (host loop ↔ device kernels)
   pctpu.parallel                mesh/sharding utilities (pjit/shard_map)
   pctpu.runtime                 loaders, writers, profiling
-  pctpu.cli                     the eight reference-compatible entry points
+  pctpu.cli                     the ten reference-compatible entry points
 """
 
+from pctpu.cloud import Cloud, make_cloud
+from pctpu.config import (
+    GroundConfig,
+    MultiBevConfig,
+    RegistrationConfig,
+    SensorParams,
+    SingleBevConfig,
+    get_sensor_params,
+    parse_sensor_type,
+)
+
 __version__ = "0.1.0"
+
+__all__ = [
+    "Cloud",
+    "make_cloud",
+    "GroundConfig",
+    "MultiBevConfig",
+    "RegistrationConfig",
+    "SensorParams",
+    "SingleBevConfig",
+    "get_sensor_params",
+    "parse_sensor_type",
+]
