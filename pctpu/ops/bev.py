@@ -18,6 +18,7 @@ Reference semantics:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from pctpu.cloud import Cloud
@@ -76,6 +77,117 @@ def single_bev(cloud: Cloud, cfg: SingleBevConfig = SingleBevConfig()) -> jnp.nd
         .max(jnp.where(ok, height, jnp.uint8(0)))
     )
     return img[:-1].reshape(s, s)
+
+
+def fused_bev_compatible(
+    multi_cfg: MultiBevConfig, single_cfg: SingleBevConfig
+) -> bool:
+    """Whether the two BEV configs share one (cell, grid) geometry."""
+    return (
+        multi_cfg.max_range == single_cfg.max_range
+        and multi_cfg.interval == single_cfg.interval
+        and multi_cfg.mat_size == single_cfg.mat_size
+        and multi_cfg.mat_size <= 2047
+        and multi_cfg.num_layers <= 24
+    )
+
+
+def fused_multi_single_bev(
+    cloud: Cloud,
+    height_res: float,
+    multi_cfg: MultiBevConfig = MultiBevConfig(),
+    single_cfg: SingleBevConfig = SingleBevConfig(),
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Both flagship rasters from ONE sorted pass — no scatters.
+
+    Semantics are exactly ``(multi_bev(...), single_bev(...))`` (see the
+    per-op docstrings / /root/reference/BatchMultiBevGen.cpp:261-373); the
+    implementation is TPU-shaped: a v5e scatter costs ~10 ns/update while a
+    sort costs ~2 ns/element, so the two scatter-max rasters become
+
+      1. one key sort of ``(cell << 9) | (height << 1) | sentinel`` with a
+         per-point layer-occupancy bit as payload — one sentinel element per
+         output cell sorts *after* that cell's points, so after the sort each
+         cell's sentinel sits at the end of its run;
+      2. a segmented OR scan accumulates the run's occupancy bits (the
+         single-BEV max height needs no scan: the key sort already placed the
+         run's max-height point immediately before the sentinel);
+      3. a second sort compacts the per-sentinel results into dense cell
+         order (sentinels are already cell-ordered, so a plain key sort on
+         ``is_sentinel ? cell : BIG`` is a stable compaction).
+
+    Both reductions (OR, max) are commutative, so the result is
+    permutation-invariant like the scatter formulation.
+    """
+    assert fused_bev_compatible(multi_cfg, single_cfg), (
+        "fused raster needs matching multi/single BEV grid geometry"
+    )
+    s = multi_cfg.mat_size
+    nl = multi_cfg.num_layers
+    cells = s * s
+
+    cx, cy = _cell_xy(cloud.x, cloud.y, multi_cfg.max_range, multi_cfg.interval)
+    cell = cx * s + cy
+    ok_single = (
+        (cx >= 0) & (cx < s) & (cy >= 0) & (cy < s)
+        & (cloud.label != 0)
+        & cloud.valid_mask()
+    )
+    layer = c_round(
+        cloud.z / height_res + multi_cfg.lidar_to_ground_height
+    ).astype(jnp.int32)
+    ok_multi = ok_single & (layer >= 0) & (layer < nl)
+    height = jnp.trunc(
+        (cloud.z + jnp.float32(single_cfg.lidar_to_ground_height))
+        * jnp.float32(single_cfg.height_scale)
+    ).astype(jnp.int32)
+    height = jnp.clip(height, 0, 255)
+
+    # pass 1: key sort.  Real keys carry (cell, height, 0); one sentinel per
+    # cell carries (cell, 255, 1) so it sorts after every real entry of its
+    # cell; invalid points get cells << 9 (past every sentinel).
+    key = jnp.where(ok_single, (cell << 9) | (height << 1), cells << 9)
+    sent_key = (jnp.arange(cells, dtype=jnp.int32) << 9) | (255 << 1) | 1
+    keys = jnp.concatenate([key, sent_key])
+    bit = jnp.where(
+        ok_multi,
+        jnp.left_shift(jnp.uint32(1), (8 + jnp.clip(layer, 0, nl - 1)).astype(jnp.uint32)),
+        jnp.uint32(0),
+    )
+    bits = jnp.concatenate([bit, jnp.zeros((cells,), jnp.uint32)])
+    sk, sb = jax.lax.sort([keys, bits], num_keys=1)
+
+    # pass 2: segmented OR scan over same-cell runs (associative because the
+    # keys are sorted: any two adjacent range aggregates with equal boundary
+    # keys are single-cell runs).
+    cellof = sk >> 9
+
+    def combine(a, b):
+        ka, va = a
+        kb, vb = b
+        return kb, vb | jnp.where(ka == kb, va, jnp.uint32(0))
+
+    _, orbits = jax.lax.associative_scan(combine, (cellof, sb), axis=0)
+
+    is_sent = (sk & 1) == 1
+    prev_h = jnp.concatenate([jnp.zeros((1,), jnp.int32), (sk >> 1) & 255])[:-1]
+    prev_cell = jnp.concatenate([jnp.full((1,), -1, jnp.int32), cellof])[:-1]
+    maxh = jnp.where(prev_cell == cellof, prev_h, 0).astype(jnp.uint32)
+    payload = (orbits & jnp.uint32(0xFFFFFF00)) | maxh
+
+    # pass 3: compact the (cell-ordered) sentinels to the front.
+    key2 = jnp.where(is_sent, cellof, jnp.int32(0x7FFFFFFF))
+    _, packed = jax.lax.sort([key2, payload], num_keys=1)
+    packed = packed[:cells]
+
+    occ = packed >> jnp.uint32(8)
+    multi_img = (
+        ((occ[None, :] >> jnp.arange(nl, dtype=jnp.uint32)[:, None]) & 1)
+        .astype(jnp.uint8)
+        * jnp.uint8(255)
+    ).reshape(nl, s, s)
+    single_img = (packed & jnp.uint32(0xFF)).astype(jnp.uint8).reshape(s, s)
+    return multi_img, single_img
 
 
 def float_bev(cloud: Cloud, cfg: FloatBevConfig = FloatBevConfig()) -> jnp.ndarray:

@@ -17,9 +17,42 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pctpu.cloud import Cloud
 from pctpu.config import SensorParams
+
+
+def is_grid_ordered(cloud: Cloud, params: SensorParams) -> bool:
+    """Host-side check: is this cloud already in dense sensor-grid layout?
+
+    True when the cloud has exactly ``grid_size`` points and every slot ``i``
+    holds either an all-zero point (an empty cell, label 0) or an in-bounds
+    point with ``row*H + col == i`` — the layout the selector binaries write
+    (/root/reference/KittiPointCloudSelect.cpp:240).  For such inputs
+    ``getOrderedCloud`` reduces to a slot-0 fix-up (see
+    ``pctpu.ops.preprocess._reorder_preordered``), letting the pipelines skip
+    the scatter+gather ordering kernel.
+    """
+    g = params.grid_size
+    if cloud.capacity != g or int(cloud.count) != g:
+        return False
+    row = np.asarray(cloud.row)
+    col = np.asarray(cloud.col)
+    xyz = np.asarray(cloud.xyz)
+    inten = np.asarray(cloud.intensity)
+    t = np.asarray(cloud.t)
+    label = np.asarray(cloud.label)
+    is_zero = (
+        (row == 0) & (col == 0) & (label == 0) & (t == 0)
+        & (inten == 0.0) & (xyz == 0.0).all(axis=1)
+    )
+    in_place = (
+        (row >= 0) & (row < params.n_scan)
+        & (col >= 0) & (col < params.horizon_scan)
+        & (row * params.horizon_scan + col == np.arange(g))
+    )
+    return bool(np.all(is_zero | in_place))
 
 
 def get_ordered_cloud(cloud: Cloud, params: SensorParams) -> Cloud:

@@ -21,13 +21,20 @@ from pctpu.config import (
     SensorParams,
     SingleBevConfig,
 )
-from pctpu.ops.bev import multi_bev, single_bev
+from pctpu.ops.bev import (
+    fused_bev_compatible,
+    fused_multi_single_bev,
+    multi_bev,
+    single_bev,
+)
 from pctpu.ops.ground import mark_ground
 from pctpu.ops.ordering import get_ordered_cloud
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "ground_cfg", "multi_cfg", "single_cfg")
+    jax.jit,
+    static_argnames=("params", "ground_cfg", "multi_cfg", "single_cfg",
+                     "assume_ordered"),
 )
 def preprocess_cloud(
     cloud: Cloud,
@@ -35,19 +42,71 @@ def preprocess_cloud(
     ground_cfg: GroundConfig = GroundConfig(),
     multi_cfg: MultiBevConfig = MultiBevConfig(),
     single_cfg: SingleBevConfig = SingleBevConfig(),
+    assume_ordered: bool = False,
 ) -> tuple[Cloud, jnp.ndarray, jnp.ndarray]:
-    """One cloud → (labeled ordered cloud, multi-BEV u8, single-BEV u8)."""
-    ordered = get_ordered_cloud(cloud, params)
+    """One cloud → (labeled ordered cloud, multi-BEV u8, single-BEV u8).
+
+    ``assume_ordered=True`` is the production fast path: the selector tools
+    emit clouds already scattered onto the dense sensor grid
+    (/root/reference/KittiPointCloudSelect.cpp:240 — slot ``row*H + col``
+    holds the point, empty slots all-zero), so re-running ``getOrderedCloud``
+    is the identity except at slot 0, where every all-zero slot competes for
+    cell (0, 0) and the last one wins.  The caller must have verified the
+    layout host-side (``pctpu.ops.ordering.is_grid_ordered``).
+    """
+    if assume_ordered:
+        ordered = _reorder_preordered(cloud, params)
+    else:
+        ordered = get_ordered_cloud(cloud, params)
     labeled, _ = mark_ground(ordered, params, ground_cfg)
-    return (
-        labeled,
-        multi_bev(labeled, params.height_res, multi_cfg),
-        single_bev(labeled, single_cfg),
+    if fused_bev_compatible(multi_cfg, single_cfg):
+        multi_img, single_img = fused_multi_single_bev(
+            labeled, params.height_res, multi_cfg, single_cfg
+        )
+    else:
+        multi_img = multi_bev(labeled, params.height_res, multi_cfg)
+        single_img = single_bev(labeled, single_cfg)
+    return labeled, multi_img, single_img
+
+
+def _reorder_preordered(cloud: Cloud, params: SensorParams) -> Cloud:
+    """getOrderedCloud on an already-grid-ordered cloud.
+
+    Equals the input except slot 0: all-zero slots carry (row, col) = (0, 0),
+    so under the reference's last-wins scatter
+    (/root/reference/BatchMultiBevGen.cpp:94-117) the last all-zero slot — if
+    any exists — overwrites cell 0.  An all-zero overwrite is itself all-zero,
+    so the update is "zero slot 0 iff any slot beyond 0 is all-zero".
+    """
+    zero_slot = (
+        (cloud.row == 0)
+        & (cloud.col == 0)
+        & jnp.all(cloud.xyz == 0.0, axis=1)
+        & (cloud.intensity == 0.0)
+        & (cloud.t == 0)
+        & (cloud.label == 0)
+    )
+    any_zero = jnp.any(zero_slot[1:])
+    keep0 = ~any_zero
+
+    def zero_first(arr, keep_val):
+        return arr.at[0].multiply(keep_val.astype(arr.dtype))
+
+    return Cloud(
+        xyz=cloud.xyz.at[0].multiply(keep0.astype(cloud.xyz.dtype)),
+        intensity=zero_first(cloud.intensity, keep0),
+        row=zero_first(cloud.row, keep0),
+        col=zero_first(cloud.col, keep0),
+        t=zero_first(cloud.t, keep0),
+        label=zero_first(cloud.label, keep0),
+        count=jnp.asarray(params.grid_size, jnp.int32),
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "ground_cfg", "multi_cfg", "single_cfg")
+    jax.jit,
+    static_argnames=("params", "ground_cfg", "multi_cfg", "single_cfg",
+                     "assume_ordered"),
 )
 def preprocess_batch(
     clouds: Cloud,
@@ -55,6 +114,7 @@ def preprocess_batch(
     ground_cfg: GroundConfig = GroundConfig(),
     multi_cfg: MultiBevConfig = MultiBevConfig(),
     single_cfg: SingleBevConfig = SingleBevConfig(),
+    assume_ordered: bool = False,
 ) -> tuple[Cloud, jnp.ndarray, jnp.ndarray]:
     """Batched variant: every Cloud field carries a leading batch axis."""
     fn = functools.partial(
@@ -63,5 +123,6 @@ def preprocess_batch(
         ground_cfg=ground_cfg,
         multi_cfg=multi_cfg,
         single_cfg=single_cfg,
+        assume_ordered=assume_ordered,
     )
     return jax.vmap(fn)(clouds)

@@ -236,3 +236,114 @@ def test_boundary_value_parity():
     ours = single_bev(labeled, SingleBevConfig())
     np.testing.assert_array_equal(np.asarray(ours), sref)
     assert sref.max() == 9  # the boundary value itself
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_fused_bev_matches_separate_ops(seed):
+    from pctpu.ops.bev import fused_multi_single_bev
+
+    rng = np.random.default_rng(seed)
+    points = random_points(rng, 600, SMALL, intensity_neg1_frac=0.1)
+    for p in points:
+        if rng.random() < 0.5:
+            p["z"] = float(np.float32(rng.uniform(-2.1, -1.7)))
+        if rng.random() < 0.05:
+            p["z"] = float(np.float32(rng.uniform(50.0, 70.0)))  # layer OOR
+    ordered = get_ordered_cloud(to_cloud(points), SMALL)
+    labeled, _ = mark_ground(ordered, SMALL)
+    fm, fs = fused_multi_single_bev(labeled, SMALL.height_res)
+    np.testing.assert_array_equal(
+        np.asarray(fm), np.asarray(multi_bev(labeled, SMALL.height_res))
+    )
+    np.testing.assert_array_equal(np.asarray(fs), np.asarray(single_bev(labeled)))
+
+
+def test_fused_bev_matches_reference_oracle(seed=5):
+    from pctpu.ops.bev import fused_multi_single_bev
+
+    rng = np.random.default_rng(seed)
+    points = random_points(rng, 500, SMALL, intensity_neg1_frac=0.1)
+    ref_cloud, _ = ordered_ref_arrays(points, SMALL)
+    ref_impl.mark_ground_ref(
+        ref_cloud, SMALL.n_scan, SMALL.horizon_scan, SMALL.ground_upper_scan
+    )
+    ordered = get_ordered_cloud(to_cloud(points), SMALL)
+    labeled, _ = mark_ground(ordered, SMALL)
+    fm, fs = fused_multi_single_bev(labeled, SMALL.height_res)
+    np.testing.assert_array_equal(
+        np.asarray(fm), ref_impl.multi_bev_ref(ref_cloud, SMALL.height_res)
+    )
+    np.testing.assert_array_equal(np.asarray(fs), ref_impl.single_bev_ref(ref_cloud))
+
+
+def test_fused_bev_edge_values():
+    """Height saturation at 255 (sentinel key ordering) and empty cloud."""
+    from pctpu.cloud import make_cloud
+    from pctpu.ops.bev import fused_multi_single_bev
+
+    pts = [
+        # z high enough that clamp(int((z+2)*4)) saturates at 255
+        {"x": 3.0, "y": 4.0, "z": 62.0, "intensity": 0.5,
+         "row": 2, "col": 2, "t": 0, "label": -2},
+        {"x": 3.0, "y": 4.0, "z": 1.0, "intensity": 0.5,
+         "row": 2, "col": 3, "t": 0, "label": -2},
+    ]
+    ordered = get_ordered_cloud(to_cloud(pts), SMALL)
+    labeled = ordered  # keep labels -2 (no ground pass)
+    fm, fs = fused_multi_single_bev(labeled, SMALL.height_res)
+    np.testing.assert_array_equal(
+        np.asarray(fm), np.asarray(multi_bev(labeled, SMALL.height_res))
+    )
+    np.testing.assert_array_equal(np.asarray(fs), np.asarray(single_bev(labeled)))
+    assert np.asarray(fs).max() == 255
+
+    empty = make_cloud(np.zeros((0, 3), np.float32), capacity=16)
+    fm, fs = fused_multi_single_bev(empty, SMALL.height_res)
+    assert int(np.asarray(fm).sum()) == 0 and int(np.asarray(fs).sum()) == 0
+
+
+def test_preordered_fast_path_matches_general():
+    """is_grid_ordered detection + the slot-0 fix-up fast path."""
+    from pctpu.ops.ordering import is_grid_ordered
+    from pctpu.ops.preprocess import preprocess_cloud
+
+    rng = np.random.default_rng(7)
+    points = random_points(rng, 300, SMALL, intensity_neg1_frac=0.1)
+    raw = to_cloud(points)
+    ordered = get_ordered_cloud(raw, SMALL)  # selector-style dense layout
+    assert not is_grid_ordered(raw, SMALL)
+    assert is_grid_ordered(ordered, SMALL)
+
+    slow = preprocess_cloud(ordered, SMALL, assume_ordered=False)
+    fast = preprocess_cloud(ordered, SMALL, assume_ordered=True)
+    for a, b in zip(jax_tree_leaves(slow), jax_tree_leaves(fast)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_preordered_fast_path_slot0_semantics():
+    """A dense cloud with a real point at cell (0,0) still loses slot 0 to
+    the trailing all-zero cells, exactly like the reference's last-wins
+    scatter (/root/reference/BatchMultiBevGen.cpp:94-117)."""
+    from pctpu.ops.ordering import is_grid_ordered
+    from pctpu.ops.preprocess import _reorder_preordered
+
+    g = SMALL.grid_size
+    xyz = np.zeros((g, 3), np.float32)
+    xyz[0] = [5.0, 1.0, -1.9]  # real point at row 0, col 0
+    row = np.zeros(g, np.int32)
+    col = np.zeros(g, np.int32)
+    label = np.zeros(g, np.int32)
+    label[0] = -2
+    cloud = make_cloud(xyz, row=row, col=col, label=label)
+    assert is_grid_ordered(cloud, SMALL)
+    general = get_ordered_cloud(cloud, SMALL)
+    fast = _reorder_preordered(cloud, SMALL)
+    np.testing.assert_array_equal(np.asarray(general.xyz), np.asarray(fast.xyz))
+    np.testing.assert_array_equal(np.asarray(general.label), np.asarray(fast.label))
+    assert np.asarray(fast.xyz)[0].tolist() == [0.0, 0.0, 0.0]  # zeros won
+
+
+def jax_tree_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
