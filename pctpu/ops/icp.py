@@ -129,8 +129,8 @@ def icp(
 
 def _icp_impl(
     src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg: IcpConfig,
-    tgt_normals, normal_mask, nn_tile: int,
-) -> IcpResult:
+    tgt_normals, normal_mask, nn_tile: int, with_trace: bool = False,
+):
     max_d2 = jnp.float32(cfg.max_correspondence_distance) ** 2
     eps_t = jnp.float32(cfg.transformation_epsilon)
     rot_thresh = jnp.float32(1.0 - cfg.transformation_epsilon)
@@ -189,7 +189,22 @@ def _icp_impl(
         jnp.bool_(False),
         jnp.bool_(False),
     )
-    it, final_t, _, _, conv = jax.lax.while_loop(cond, body, init)
+    trace = None
+    if with_trace:
+        # fixed-length scan so every iteration's state can be recorded; the
+        # body is gated on `done` to keep while_loop semantics exactly
+        def scan_step(state, _):
+            nxt = body(state)
+            nxt = jax.tree.map(lambda a, b: jnp.where(state[3], a, b), state, nxt)
+            it_, t_, mse_, done_, conv_ = nxt
+            return nxt, {"transform": t_, "mse": mse_, "done": done_,
+                         "converged": conv_, "it": it_}
+
+        (it, final_t, _, _, conv), trace = jax.lax.scan(
+            scan_step, init, None, length=cfg.max_iterations
+        )
+    else:
+        it, final_t, _, _, conv = jax.lax.while_loop(cond, body, init)
     # (a <3-correspondence abort keeps conv False even on the last iteration,
     # matching PCL's converged_=false break)
 
@@ -199,13 +214,30 @@ def _icp_impl(
     _, d2 = nn_1(transformed, src_mask, tgt_xyz, tgt_mask, tile=nn_tile)
     nsrc = jnp.maximum(jnp.sum(src_mask.astype(jnp.float32)), 1.0)
     fitness = jnp.sum(jnp.where(src_mask, d2, 0.0)) / nsrc
-    return IcpResult(converged=conv, fitness=fitness, transform=final_t)
+    result = IcpResult(converged=conv, fitness=fitness, transform=final_t)
+    return (result, trace) if with_trace else result
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "nn_tile"))
 def icp_point_to_point(src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg: IcpConfig,
                        nn_tile: int = 512) -> IcpResult:
     return icp(src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg, nn_tile=nn_tile)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nn_tile"))
+def icp_trace(
+    src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg: IcpConfig,
+    tgt_normals=None, normal_mask=None, nn_tile: int = 512,
+):
+    """Debug/differential-test variant: like ``icp`` but also returns the
+    per-iteration state trace (transform, MSE, done/converged flags) from a
+    fixed-length scan.  Used to assert PCL-semantics agreement against the
+    plain-loop oracle in tests/ref_impl.py."""
+    with jax.default_matmul_precision("highest"):
+        return _icp_impl(
+            src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg,
+            tgt_normals, normal_mask, nn_tile, with_trace=True,
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "nn_tile"))

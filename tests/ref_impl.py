@@ -242,3 +242,156 @@ def normals2d_ref(points: np.ndarray, radius: float = 2.0):
         normals[i] = nrm
         valid[i] = True
     return normals, valid
+
+
+# ---------------------------------------------------------------------------
+# PCL registration oracle: pcl::IterativeClosestPoint[WithNormals] as
+# configured by the reference (/root/reference/BatchTopPartRegistration.cpp:
+# 192-247, performCoarseIcp/performFineIcp), transcribed as plain loops.
+#
+# Semantics encoded (PCL Registration/DefaultConvergenceCriteria):
+#  * per iteration: 1-NN correspondences of the transformed source in the
+#    target, rejected when squared distance > max_correspondence_distance²;
+#  * < 3 correspondences → converged=false, loop breaks BEFORE estimating;
+#  * estimation: point-to-point = Umeyama SVD without scale
+#    (TransformationEstimationSVD); point-to-plane = the linearized LLS system
+#    rows [s×n, n], b = n·(t−s), angles into Rz(γ)Ry(β)Rx(α)
+#    (TransformationEstimationPointToPlaneLLS);
+#  * final = inc · final, starting from the guess;
+#  * hasConverged() order: max iterations → converged; cosθ ≥ 1−ε_t and
+#    ‖t‖² ≤ ε_t → converged; |MSE−prev| < 1e-12 or /prev < ε_fitness →
+#    converged (MSE = mean squared distance over accepted correspondences);
+#  * fitness = getFitnessScore(default max_range): mean squared 1-NN distance
+#    of ALL transformed source points against the full target.
+#
+# Divergence shared with pctpu.ops.icp (documented there): targets with
+# undefined normals are excluded from point-to-plane correspondences instead
+# of NaN-poisoning the solve like PCL would.
+
+
+def _nn_1_ref(q, target, target_ok):
+    best_i, best_d = 0, float("inf")
+    for j in range(len(target)):
+        if not target_ok[j]:
+            continue
+        d = float((q[0] - target[j][0]) ** 2 + (q[1] - target[j][1]) ** 2
+                  + (q[2] - target[j][2]) ** 2)
+        if d < best_d:
+            best_d, best_i = d, j
+    return best_i, best_d
+
+
+def _estimate_svd_ref(src, tgt):
+    src = np.asarray(src, np.float64)
+    tgt = np.asarray(tgt, np.float64)
+    mu_s = src.mean(axis=0)
+    mu_t = tgt.mean(axis=0)
+    h = (src - mu_s).T @ (tgt - mu_t)
+    u, _, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    s = np.diag([1.0, 1.0, d])
+    r = vt.T @ s @ u.T
+    t = mu_t - r @ mu_s
+    m = np.eye(4)
+    m[:3, :3] = r
+    m[:3, 3] = t
+    return m.astype(np.float32)
+
+
+def _estimate_p2pl_ref(src, tgt, nrm):
+    ata = np.zeros((6, 6))
+    atb = np.zeros(6)
+    for s, t, n in zip(np.asarray(src, np.float64), np.asarray(tgt, np.float64),
+                       np.asarray(nrm, np.float64)):
+        a = np.concatenate([np.cross(s, n), n])
+        ata += np.outer(a, a)
+        atb += a * (n @ (t - s))
+    x = np.linalg.solve(ata + 1e-12 * np.eye(6), atb)
+    al, be, ga, tx, ty, tz = x
+    ca, sa = math.cos(al), math.sin(al)
+    cb, sb = math.cos(be), math.sin(be)
+    cg, sg = math.cos(ga), math.sin(ga)
+    m = np.array(
+        [
+            [cg * cb, -sg * ca + cg * sb * sa, sg * sa + cg * sb * ca, tx],
+            [sg * cb, cg * ca + sg * sb * sa, -cg * sa + sg * sb * ca, ty],
+            [-sb, cb * sa, cb * ca, tz],
+            [0.0, 0.0, 0.0, 1.0],
+        ]
+    )
+    return m.astype(np.float32)
+
+
+def icp_ref(
+    src,
+    tgt,
+    guess,
+    max_correspondence_distance,
+    max_iterations,
+    transformation_epsilon=0.0,
+    euclidean_fitness_epsilon=-math.inf,
+    tgt_normals=None,
+    normal_ok=None,
+):
+    """Plain-loop PCL ICP.  Returns a dict with the final state and the
+    per-iteration trace [(final_transform f32 4x4, mse, ncorr)]."""
+    src = np.asarray(src, np.float32)
+    tgt = np.asarray(tgt, np.float32)
+    final = np.asarray(guess, np.float32).copy()
+    max_d2 = float(max_correspondence_distance) ** 2
+    corr_ok = [True] * len(tgt) if normal_ok is None else list(normal_ok)
+    prev_mse = float(np.finfo(np.float32).max)
+    converged = False
+    trace = []
+
+    for it in range(1, max_iterations + 1):
+        moved = src @ final[:3, :3].T + final[:3, 3]
+        pairs = []
+        for i in range(len(moved)):
+            j, d2 = _nn_1_ref(moved[i], tgt, corr_ok)
+            if d2 <= max_d2:
+                pairs.append((i, j, d2))
+        if len(pairs) < 3:
+            converged = False
+            trace.append((final.copy(), float("nan"), len(pairs)))
+            break
+        s_sel = np.array([moved[i] for i, _, _ in pairs], np.float32)
+        t_sel = np.array([tgt[j] for _, j, _ in pairs], np.float32)
+        if tgt_normals is not None:
+            n_sel = np.array([tgt_normals[j] for _, j, _ in pairs], np.float32)
+            inc = _estimate_p2pl_ref(s_sel, t_sel, n_sel)
+        else:
+            inc = _estimate_svd_ref(s_sel, t_sel)
+        final = (inc.astype(np.float32) @ final).astype(np.float32)
+        mse = float(np.mean([d2 for _, _, d2 in pairs]))
+        trace.append((final.copy(), mse, len(pairs)))
+
+        if it >= max_iterations:
+            converged = True
+            break
+        cos_angle = 0.5 * (float(inc[0, 0]) + float(inc[1, 1]) + float(inc[2, 2]) - 1.0)
+        trans_sqr = float(np.sum(inc[:3, 3] ** 2))
+        if cos_angle >= 1.0 - transformation_epsilon and trans_sqr <= transformation_epsilon:
+            converged = True
+            break
+        if abs(mse - prev_mse) < 1e-12:
+            converged = True
+            break
+        if abs(mse - prev_mse) / prev_mse < euclidean_fitness_epsilon:
+            converged = True
+            break
+        prev_mse = mse
+
+    moved = src @ final[:3, :3].T + final[:3, 3]
+    fitness = 0.0
+    all_ok = [True] * len(tgt)
+    for i in range(len(moved)):
+        _, d2 = _nn_1_ref(moved[i], tgt, all_ok)
+        fitness += d2
+    fitness /= max(len(moved), 1)
+    return {
+        "converged": converged,
+        "fitness": fitness,
+        "transform": final,
+        "trace": trace,
+    }

