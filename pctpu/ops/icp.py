@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from pctpu.config import IcpConfig
 from pctpu.ops.knn import nn_1
+from pctpu.ops.pallas_knn import pallas_nn_1_pruned, spatial_sort
 
 
 @jax.tree_util.register_dataclass
@@ -108,6 +109,7 @@ def icp(
     tgt_normals: jnp.ndarray | None = None,
     normal_mask: jnp.ndarray | None = None,
     nn_tile: int = 512,
+    nn_impl: str = "auto",
 ) -> IcpResult:
     """Run one ICP alignment.  All arrays fixed-size with validity masks.
 
@@ -116,6 +118,12 @@ def icp(
     normals are excluded from correspondences — documented divergence that
     avoids NaN-poisoning PCL exhibits on isolated points).
 
+    ``nn_impl`` selects the correspondence search: "xla" (blocked matmul
+    argmin), "pruned" (the bbox-pruned Pallas kernel over spatially sorted
+    clouds — ~4x faster per pass at 49k points on v5e, exact), or "auto"
+    (pruned on TPU, xla elsewhere).  "pruned_interpret" runs the Pallas
+    kernel in interpreter mode for CPU testing.
+
     All matrix products trace under full-f32 precision: the platform default
     (bf16-class) corrupts transforms by ~0.4% per iteration, which compounds
     into degrees of rotation error.
@@ -123,26 +131,58 @@ def icp(
     with jax.default_matmul_precision("highest"):
         return _icp_impl(
             src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg,
-            tgt_normals, normal_mask, nn_tile,
+            tgt_normals, normal_mask, nn_tile, nn_impl=nn_impl,
         )
 
 
 def _icp_impl(
     src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg: IcpConfig,
     tgt_normals, normal_mask, nn_tile: int, with_trace: bool = False,
+    nn_impl: str = "auto",
 ):
+    if nn_impl == "auto":
+        nn_impl = "pruned" if jax.default_backend() == "tpu" else "xla"
     max_d2 = jnp.float32(cfg.max_correspondence_distance) ** 2
     eps_t = jnp.float32(cfg.transformation_epsilon)
     rot_thresh = jnp.float32(1.0 - cfg.transformation_epsilon)
     rel_mse = jnp.float32(cfg.euclidean_fitness_epsilon)
     abs_mse = jnp.float32(1e-12)
 
+    if nn_impl in ("pruned", "pruned_interpret"):
+        # spatial sort once: pruning needs tile locality; a rigid transform
+        # preserves it, so the source order holds across iterations (bboxes
+        # are recomputed from transformed positions every call)
+        interp = nn_impl == "pruned_interpret"
+        tgt_xyz, tgt_mask, t_order = spatial_sort(tgt_xyz, tgt_mask)
+        if tgt_normals is not None:
+            tgt_normals = tgt_normals[t_order]
+            if normal_mask is not None:
+                normal_mask = normal_mask[t_order]
+        src_xyz, src_mask, _ = spatial_sort(src_xyz, src_mask)
+
+        def nn_corr(q, qm, tmask):
+            return pallas_nn_1_pruned(
+                q, qm, tgt_xyz, tmask,
+                max_distance=cfg.max_correspondence_distance, interpret=interp,
+            )
+
+        def nn_fit(q, qm, tmask):
+            return pallas_nn_1_pruned(
+                q, qm, tgt_xyz, tmask, max_distance=None, interpret=interp
+            )
+    else:
+
+        def nn_corr(q, qm, tmask):
+            return nn_1(q, qm, tgt_xyz, tmask, tile=nn_tile)
+
+        nn_fit = nn_corr
+
     corr_tgt_mask = tgt_mask
     if tgt_normals is not None and normal_mask is not None:
         corr_tgt_mask = tgt_mask & normal_mask
 
     def one_iteration(transformed):
-        idx, d2 = nn_1(transformed, src_mask, tgt_xyz, corr_tgt_mask, tile=nn_tile)
+        idx, d2 = nn_corr(transformed, src_mask, corr_tgt_mask)
         w = (src_mask & (d2 <= max_d2)).astype(jnp.float32)
         tgt = tgt_xyz[idx]
         if cfg.point_to_plane:
@@ -170,7 +210,9 @@ def _icp_impl(
         cos_angle = 0.5 * (inc[0, 0] + inc[1, 1] + inc[2, 2] - 1.0)
         trans_sqr = jnp.sum(inc[:3, 3] ** 2)
         delta_small = (cos_angle >= rot_thresh) & (trans_sqr <= eps_t)
-        mse = jnp.sum(d2 * w) / jnp.maximum(ncorr, 1.0)
+        # where() not d2*w: the pruned NN returns +inf for out-of-threshold
+        # queries, and inf * 0 would NaN-poison the MSE
+        mse = jnp.sum(jnp.where(w > 0, d2, 0.0)) / jnp.maximum(ncorr, 1.0)
         mse_abs_ok = jnp.abs(mse - prev_mse) < abs_mse
         mse_rel_ok = jnp.abs(mse - prev_mse) / jnp.maximum(prev_mse, 1e-30) < rel_mse
         converged_now = delta_small | mse_abs_ok | mse_rel_ok
@@ -211,23 +253,25 @@ def _icp_impl(
     # fitness: mean squared NN distance over all source points (default
     # max_range → every point counts), against the plain target mask
     transformed = _apply(final_t, src_xyz)
-    _, d2 = nn_1(transformed, src_mask, tgt_xyz, tgt_mask, tile=nn_tile)
+    _, d2 = nn_fit(transformed, src_mask, tgt_mask)
     nsrc = jnp.maximum(jnp.sum(src_mask.astype(jnp.float32)), 1.0)
     fitness = jnp.sum(jnp.where(src_mask, d2, 0.0)) / nsrc
     result = IcpResult(converged=conv, fitness=fitness, transform=final_t)
     return (result, trace) if with_trace else result
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "nn_tile"))
+@functools.partial(jax.jit, static_argnames=("cfg", "nn_tile", "nn_impl"))
 def icp_point_to_point(src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg: IcpConfig,
-                       nn_tile: int = 512) -> IcpResult:
-    return icp(src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg, nn_tile=nn_tile)
+                       nn_tile: int = 512, nn_impl: str = "auto") -> IcpResult:
+    return icp(src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg, nn_tile=nn_tile,
+               nn_impl=nn_impl)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "nn_tile"))
+@functools.partial(jax.jit, static_argnames=("cfg", "nn_tile", "nn_impl"))
 def icp_trace(
     src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg: IcpConfig,
     tgt_normals=None, normal_mask=None, nn_tile: int = 512,
+    nn_impl: str = "auto",
 ):
     """Debug/differential-test variant: like ``icp`` but also returns the
     per-iteration state trace (transform, MSE, done/converged flags) from a
@@ -236,16 +280,17 @@ def icp_trace(
     with jax.default_matmul_precision("highest"):
         return _icp_impl(
             src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg,
-            tgt_normals, normal_mask, nn_tile, with_trace=True,
+            tgt_normals, normal_mask, nn_tile, with_trace=True, nn_impl=nn_impl,
         )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "nn_tile"))
+@functools.partial(jax.jit, static_argnames=("cfg", "nn_tile", "nn_impl"))
 def icp_point_to_plane(
     src_xyz, src_mask, tgt_xyz, tgt_mask, tgt_normals, normal_mask, guess,
-    cfg: IcpConfig, nn_tile: int = 512,
+    cfg: IcpConfig, nn_tile: int = 512, nn_impl: str = "auto",
 ) -> IcpResult:
     return icp(
         src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg,
         tgt_normals=tgt_normals, normal_mask=normal_mask, nn_tile=nn_tile,
+        nn_impl=nn_impl,
     )

@@ -55,6 +55,28 @@ def is_grid_ordered(cloud: Cloud, params: SensorParams) -> bool:
     return bool(np.all(is_zero | in_place))
 
 
+def arrays_grid_ordered(arrays: dict, params: SensorParams) -> bool:
+    """``is_grid_ordered`` for the loader's SoA dict form (narrow dtypes,
+    see pctpu.runtime.loader.load_xyzirct_arrays)."""
+    g = params.grid_size
+    row = np.asarray(arrays["row"], np.int64)
+    col = np.asarray(arrays["col"], np.int64)
+    if row.shape[0] != g or int(arrays["count"]) != g:
+        return False
+    is_zero = (
+        (row == 0) & (col == 0)
+        & (np.asarray(arrays["label"]) == 0)
+        & (np.asarray(arrays["t"]) == 0)
+        & (np.asarray(arrays["intensity"]) == 0.0)
+        & (np.asarray(arrays["xyz"]) == 0.0).all(axis=1)
+    )
+    in_place = (
+        (row < params.n_scan) & (col < params.horizon_scan)
+        & (row * params.horizon_scan + col == np.arange(g))
+    )
+    return bool(np.all(is_zero | in_place))
+
+
 def get_ordered_cloud(cloud: Cloud, params: SensorParams) -> Cloud:
     """Order a padded cloud into the dense sensor grid.
 

@@ -123,3 +123,182 @@ def pallas_nn_1(
     d2 = jnp.sum(diff * diff, axis=1)
     d2 = jnp.where(query_mask & target_mask[idx], d2, jnp.inf)
     return idx, d2
+
+
+# ---------------------------------------------------------------------------
+# Bounding-box-pruned variant: when both clouds are spatially sorted, most
+# (q-tile, t-tile) block pairs are far apart and can be skipped entirely.
+#
+# Two pruning rules, both exact:
+#   * static threshold (ICP correspondence NN): a block whose boxes are
+#     further apart than max_correspondence_distance cannot produce an
+#     accepted correspondence — queries whose true NN lies beyond the
+#     threshold get d² = +inf, which the ICP weights to zero anyway
+#     (/root/reference/BatchTopPartRegistration.cpp:199-239 semantics);
+#   * dynamic bound (fitness NN, no threshold): a block whose boxes are
+#     further apart than the current worst per-query best of this q-tile
+#     cannot improve any query.  Target tiles are visited starting from the
+#     diagonal (sorted clouds ⇒ spatially aligned), so the bound tightens
+#     after the first few near blocks.
+
+
+def morton_sort_key(xyz: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """16-bit 2-D Morton code over (x, y) — a cheap locality-preserving sort
+    key.  Masked points get the maximum key so they sort to the end."""
+    lo = jnp.min(jnp.where(mask[:, None], xyz, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(mask[:, None], xyz, -jnp.inf), axis=0)
+    span = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip(((xyz - lo) / span * 255.0).astype(jnp.int32), 0, 255)
+
+    def spread(v):  # interleave 8 bits with zeros
+        v = (v | (v << 4)) & 0x0F0F
+        v = (v | (v << 2)) & 0x3333
+        v = (v | (v << 1)) & 0x5555
+        return v
+
+    key = spread(q[:, 0]) | (spread(q[:, 1]) << 1)
+    return jnp.where(mask, key, jnp.int32(0x7FFFFFFF))
+
+
+def spatial_sort(xyz: jnp.ndarray, mask: jnp.ndarray):
+    """Sort points by Morton code; returns (xyz_sorted, mask_sorted, order)."""
+    key = morton_sort_key(xyz, mask)
+    order = jnp.argsort(key)
+    return xyz[order], mask[order], order
+
+
+def _tile_bboxes(xyz: jnp.ndarray, mask: jnp.ndarray, tile: int) -> jnp.ndarray:
+    """(8, n_tiles) f32: rows [minx miny minz maxx maxy maxz 0 0]; fully
+    masked tiles get an impossible box (min=+big, max=-big) so every gap test
+    skips them."""
+    n = xyz.shape[0]
+    nt = n // tile
+    x = xyz.reshape(nt, tile, 3)
+    m = mask.reshape(nt, tile, 1)
+    mins = jnp.min(jnp.where(m, x, _BIG), axis=1)
+    maxs = jnp.max(jnp.where(m, x, -_BIG), axis=1)
+    out = jnp.zeros((8, nt), jnp.float32)
+    out = out.at[0:3].set(mins.T)
+    out = out.at[3:6].set(maxs.T)
+    return out
+
+
+def _nn_pruned_kernel(qb_ref, tb_ref, thr_ref, q_ref, t_ref, val_ref, idx_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nt = pl.num_programs(1)
+    tt = t_ref.shape[1]
+    # diagonal start: t-tile actually loaded this step (must match index_map)
+    jj = jax.lax.rem(i * nt // pl.num_programs(0) + j, nt)
+
+    @pl.when(j == 0)
+    def _():
+        # masked queries start at -BIG so they never update and never hold
+        # the dynamic bound open; valid queries start at +BIG
+        masked = q_ref[4, :] > 0.5
+        val_ref[0, :] = jnp.where(masked, -jnp.float32(_BIG), jnp.float32(_BIG))
+        idx_ref[0, :] = jnp.zeros_like(idx_ref[0, :])
+
+    # box-to-box squared gap
+    gap = jnp.float32(0.0)
+    for d in range(3):
+        lo_q, hi_q = qb_ref[d, i], qb_ref[3 + d, i]
+        lo_t, hi_t = tb_ref[d, jj], tb_ref[3 + d, jj]
+        g = jnp.maximum(jnp.maximum(lo_t - hi_q, lo_q - hi_t), 0.0)
+        gap = gap + g * g
+
+    bound = jnp.minimum(thr_ref[0], jnp.max(val_ref[0, :]))
+
+    @pl.when(gap <= bound)
+    def _():
+        cross = jax.lax.dot_general(
+            q_ref[:],
+            t_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (TQ, TT)
+        score = t_ref[3, :][None, :] - 2.0 * cross
+        q2 = q_ref[0, :] ** 2 + q_ref[1, :] ** 2 + q_ref[2, :] ** 2
+        local_best = jnp.min(score, axis=1) + q2  # true d² of the block winner
+        local_arg = jnp.argmin(score, axis=1).astype(jnp.int32) + jj * tt
+
+        better = local_best < val_ref[0, :]
+        val_ref[0, :] = jnp.where(better, local_best, val_ref[0, :])
+        idx_ref[0, :] = jnp.where(better, local_arg, idx_ref[0, :])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tq", "tt", "max_distance", "interpret")
+)
+def pallas_nn_1_pruned(
+    query: jnp.ndarray,
+    query_mask: jnp.ndarray,
+    target: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    max_distance: float | None = None,
+    tq: int = 256,
+    tt: int = 2048,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact 1-NN with block pruning.  Both clouds MUST be spatially sorted
+    (``spatial_sort``) for the pruning to bite; results are exact for every
+    valid query whose true NN is within ``max_distance`` (all queries when
+    None).  Queries with no target within ``max_distance`` return +inf."""
+    qn = query.shape[0]
+    tn = target.shape[0]
+    qp = -(-qn // tq) * tq
+    tp = -(-tn // tt) * tt
+    q_planes = _plane_layout(query, query_mask, qp, with_sq=False)
+    q_planes = q_planes.at[4, :qn].set(jnp.where(query_mask, 0.0, 1.0))
+    if qn < qp:
+        q_planes = q_planes.at[4, qn:].set(1.0)
+    t_planes = _plane_layout(target, target_mask, tp, with_sq=True)
+
+    qxyz_p = jnp.zeros((qp, 3), jnp.float32).at[:qn].set(query)
+    qmask_p = jnp.zeros((qp,), bool).at[:qn].set(query_mask)
+    txyz_p = jnp.zeros((tp, 3), jnp.float32).at[:tn].set(target)
+    tmask_p = jnp.zeros((tp,), bool).at[:tn].set(target_mask)
+    q_bbox = _tile_bboxes(qxyz_p, qmask_p, tq)
+    t_bbox = _tile_bboxes(txyz_p, tmask_p, tt)
+    thr = jnp.full(
+        (1,),
+        jnp.float32(_BIG) if max_distance is None
+        else jnp.float32(max_distance) ** 2,
+        jnp.float32,
+    )
+
+    nq_t, nt_t = qp // tq, tp // tt
+    grid = (nq_t, nt_t)
+    val, idx = pl.pallas_call(
+        _nn_pruned_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # q bboxes
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # t bboxes
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # threshold²
+            pl.BlockSpec((8, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, tt),
+                lambda i, j: (0, (i * nt_t // nq_t + j) % nt_t),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, qp), jnp.float32),
+            jax.ShapeDtypeStruct((1, qp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_bbox, t_bbox, thr, q_planes, t_planes)
+
+    idx = idx[0, :qn]
+    idx = jnp.clip(idx, 0, tn - 1)
+    found = val[0, :qn] < jnp.float32(_BIG) / 2
+    diff = query - target[idx]
+    d2 = jnp.sum(diff * diff, axis=1)
+    d2 = jnp.where(query_mask & target_mask[idx] & found, d2, jnp.inf)
+    return idx, d2

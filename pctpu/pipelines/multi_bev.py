@@ -47,10 +47,13 @@ import jax.numpy as jnp
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "ground_cfg", "multi_cfg", "single_cfg")
+    jax.jit,
+    static_argnames=("params", "ground_cfg", "multi_cfg", "single_cfg",
+                     "assume_ordered"),
 )
 def _preprocess_wire(
-    arrays: dict, params, ground_cfg, multi_cfg, single_cfg
+    arrays: dict, params, ground_cfg, multi_cfg, single_cfg,
+    assume_ordered: bool = False,
 ):
     """Batched preprocess with narrow host↔device wire formats.
 
@@ -68,7 +71,8 @@ def _preprocess_wire(
         count=arrays["count"],
     )
     labeled, multi, single = preprocess_batch(
-        clouds, params, ground_cfg, multi_cfg, single_cfg
+        clouds, params, ground_cfg, multi_cfg, single_cfg,
+        assume_ordered=assume_ordered,
     )
     # occupancy → bits (little-endian within each byte, like np.unpackbits
     # with bitorder="little")
@@ -116,10 +120,31 @@ def run_multi_bev(
     batch_size: int = 8,
     resume: bool = False,
     write_pngs: bool = True,
+    mesh: "jax.sharding.Mesh | None" = None,
+    devices: int | None = None,
 ) -> MultiBevOutputs:
-    """Run the full batch_multi_bev_gen pipeline over a keyframe tree."""
+    """Run the full batch_multi_bev_gen pipeline over a keyframe tree.
+
+    ``devices=N`` (or an explicit ``mesh``) shards the batch axis over a
+    data-parallel device mesh — the per-cloud kernel is embarrassingly
+    parallel, so GSPMD partitions it with zero cross-chip collectives and
+    throughput scales with chip count (SURVEY.md §5.8).  Outputs are
+    byte-identical to the single-device run."""
     root = keyframes_root_dir.rstrip("/") + "/"
     params = sensor if isinstance(sensor, SensorParams) else get_sensor_params(sensor)
+    if mesh is None and devices is not None and devices > 1:
+        from pctpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=devices, n_points=1)
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_data = mesh.shape["data"]
+        if batch_size % n_data:
+            batch_size = -(-batch_size // n_data) * n_data
+            log.info(f"batch_size rounded up to {batch_size} for {n_data}-way mesh")
+        sharding = NamedSharding(mesh, PartitionSpec("data"))
     multi_cfg = MultiBevConfig()
     single_cfg = SingleBevConfig()
     ground_cfg = GroundConfig()
@@ -154,12 +179,24 @@ def run_multi_bev(
             files, batch_size, lambda f: load_xyzirct_arrays(f, capacity)
         )
         with AsyncWriter() as writer:
+            from pctpu.ops.ordering import arrays_grid_ordered
+
             for names, payloads in loader:
                 arrays = stack_batch(payloads)
+                # selector-produced clouds are already grid-ordered: skip the
+                # ordering scatter+gather on device (host-verified fast path)
+                ordered = all(arrays_grid_ordered(p, params) for p in payloads)
                 with timer.stage("preprocess+bev", items=sum(1 for n in names if n)):
+                    if sharding is not None:
+                        # every field carries the batch axis first: shard it
+                        dev_arrays = {
+                            k: jax.device_put(v, sharding) for k, v in arrays.items()
+                        }
+                    else:
+                        dev_arrays = {k: jax.numpy.asarray(v) for k, v in arrays.items()}
                     wire, packed, single = _preprocess_wire(
-                        {k: jax.numpy.asarray(v) for k, v in arrays.items()},
-                        params, ground_cfg, multi_cfg, single_cfg,
+                        dev_arrays, params, ground_cfg, multi_cfg, single_cfg,
+                        assume_ordered=ordered,
                     )
                     packed_h = np.asarray(packed)
                     single_h = np.asarray(single)

@@ -108,72 +108,149 @@ def _guess_pair(angle_guess_deg: float) -> jnp.ndarray:
     return jnp.stack([jnp.asarray(g1), jnp.asarray(g2)])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "flat_cap"))
-def _register_pair_fused(
-    cloud_1: Cloud, cloud_2: Cloud, guesses: jnp.ndarray,
-    cfg: RegistrationConfig, flat_cap: int,
+# --- adaptive capacity buckets ---------------------------------------------
+#
+# All stage programs take fixed shapes, but the flat (top-part) clouds are
+# usually far smaller than their worst-case capacity, and NN/normals cost is
+# quadratic in the padded size.  Each stage therefore reports its compacted
+# point counts to the host, and the next stage is compiled for the smallest
+# bucket that fits — identical results (padding was masked anyway), a handful
+# of cached compilations, and order-of-magnitude less device work.
+
+_BUCKET_FLOOR = 1024
+
+
+def _pow2_bucket(n: int, cap: int) -> int:
+    b = _BUCKET_FLOOR
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
+def _fine_bucket(n: int, cap: int, step: int = 8192) -> int:
+    return min(-(-max(n, 1) // step) * step, cap)
+
+
+@functools.partial(jax.jit, static_argnames=("flat_cap", "leaf"))
+def _stage_flat(cloud_1: Cloud, cloud_2: Cloud, flat_cap: int, leaf: float):
+    """Top-part extraction + 0.2 m voxel of the flat clouds (reference 1st
+    stage prep, BatchTopPartRegistration.cpp:397-409), both clouds in one
+    dispatch.  Returns compacted arrays, their counts, and a checksum that —
+    once fetched — proves the dispatch fully executed (honest stage timing)."""
+
+    def one(c):
+        fx, fm, _ = extract_top_and_flatten(c)
+        return voxel_downsample(fx[:flat_cap], fm[:flat_cap], leaf)
+
+    s = one(cloud_1)
+    t = one(cloud_2)
+    chk = jnp.sum(s[0]) + jnp.sum(t[0])
+    return s, t, chk
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "bucket"))
+def _stage_coarse(
+    s_xyz, s_mask, t_xyz, t_mask, guesses, cfg: RegistrationConfig, bucket: int
 ):
-    """The whole two-stage pipeline as one program: prepare → coarse ×2 →
-    best-of-two → voxel full clouds → fine.  One dispatch per pair instead of
-    four (host↔device roundtrips dominate otherwise)."""
-    src, src_mask, _, _ = _prepare_flat_inline(
-        cloud_1, flat_cap, cfg.voxel_leaf, cfg.normal_radius
-    )
-    tgt, tgt_mask, tgt_normals, normal_ok = _prepare_flat_inline(
-        cloud_2, flat_cap, cfg.voxel_leaf, cfg.normal_radius
-    )
-    coarse = _coarse_two_guesses(
-        src, src_mask, tgt, tgt_mask, tgt_normals, normal_ok, guesses, cfg
-    )
+    """Normals + the two coarse point-to-plane ICPs + best-of-two, at bucket
+    size.  The reference computes source normals as well
+    (BatchTopPartRegistration.cpp:428) but PointToPlaneLLS only consumes the
+    target's, so only those are built."""
+    s_xyz, s_mask = s_xyz[:bucket], s_mask[:bucket]
+    t_xyz, t_mask = t_xyz[:bucket], t_mask[:bucket]
+    t_nrm, _, n_ok = normals_2d(t_xyz, t_mask, radius=cfg.normal_radius)
+    res = _coarse_two_guesses(s_xyz, s_mask, t_xyz, t_mask, t_nrm, n_ok, guesses, cfg)
     # tie picks the second guess, like the C++ ternary (:464)
-    best_i = jnp.where(coarse.fitness[0] < coarse.fitness[1], 0, 1)
-    best = jax.tree.map(lambda a: a[best_i], coarse)
-
-    s_xyz, s_mask, _ = voxel_downsample(cloud_1.xyz, cloud_1.valid_mask(), cfg.voxel_leaf)
-    t_xyz, t_mask, _ = voxel_downsample(cloud_2.xyz, cloud_2.valid_mask(), cfg.voxel_leaf)
-    fine = icp_point_to_point(s_xyz, s_mask, t_xyz, t_mask, best.transform, cfg.fine)
-    return best, fine
+    best_i = jnp.where(res.fitness[0] < res.fitness[1], 0, 1)
+    return jax.tree.map(lambda a: a[best_i], res)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "flat_cap"))
-def _register_pairs_vmapped(
-    clouds_1: Cloud, clouds_2: Cloud, guesses: jnp.ndarray,
-    cfg: RegistrationConfig, flat_cap: int,
-):
-    """Several pairs as one dispatch: Cloud fields carry a leading pair axis,
-    guesses is (n_pairs, 2, 4, 4)."""
+@functools.partial(jax.jit, static_argnames=("leaf",))
+def _stage_voxel_full(cloud_1: Cloud, cloud_2: Cloud, leaf: float):
+    """Full-cloud voxel downsample (reference 2nd-stage prep, :483-487)."""
+    a = voxel_downsample(cloud_1.xyz, cloud_1.valid_mask(), leaf)
+    b = voxel_downsample(cloud_2.xyz, cloud_2.valid_mask(), leaf)
+    chk = jnp.sum(a[0]) + jnp.sum(b[0])
+    return a, b, chk
 
-    def one(c1, c2, g):
-        return _register_pair_fused(c1, c2, g, cfg, flat_cap)
 
-    return jax.vmap(one, in_axes=(0, 0, 0))(clouds_1, clouds_2, guesses)
+@functools.partial(jax.jit, static_argnames=("cfg", "bucket"))
+def _stage_fine(s_xyz, s_mask, t_xyz, t_mask, guess, cfg: RegistrationConfig,
+                bucket: int):
+    return icp_point_to_point(
+        s_xyz[:bucket], s_mask[:bucket], t_xyz[:bucket], t_mask[:bucket],
+        guess, cfg.fine,
+    )
 
 
 def register_pairs(
     pairs: list[tuple[Cloud, Cloud, float]],
     cfg: RegistrationConfig = RegistrationConfig(),
     flat_cap: int = 32768,
+    timer: StageTimer | None = None,
+    mesh: "jax.sharding.Mesh | None" = None,
 ):
-    """Batch several (cloud_1, cloud_2, yaw_guess_deg) pairs into one jitted
-    dispatch.  Returns a list of (best coarse, fine) numpy IcpResults in
-    input order.  All clouds must share one capacity."""
-    import jax.numpy as _jnp
+    """Batch several (cloud_1, cloud_2, yaw_guess_deg) pairs: each stage runs
+    as one vmapped dispatch over the pair axis, with capacity buckets chosen
+    from the batch maxima.  Returns a list of (best coarse, fine) numpy
+    IcpResults in input order.  All clouds must share one capacity.
 
-    c1 = jax.tree.map(lambda *xs: _jnp.stack(xs), *[p[0] for p in pairs])
-    c2 = jax.tree.map(lambda *xs: _jnp.stack(xs), *[p[1] for p in pairs])
-    guesses = _jnp.stack([_guess_pair(p[2]) for p in pairs])
-    best, fine = _register_pairs_vmapped(c1, c2, guesses, cfg, flat_cap)
-    best = jax.tree.map(np.asarray, jax.device_get(best))
-    fine = jax.tree.map(np.asarray, jax.device_get(fine))
-    out = []
-    for i in range(len(pairs)):
-        out.append(
-            (
-                jax.tree.map(lambda a: a[i], best),
-                jax.tree.map(lambda a: a[i], fine),
+    With ``mesh``, the pair axis is sharded over the mesh's 'data' axis
+    (len(pairs) must be a multiple of it) — pure data parallelism, results
+    identical to the unsharded run."""
+    timer = timer or StageTimer()
+    c1 = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[0] for p in pairs])
+    c2 = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[1] for p in pairs])
+    guesses = jnp.stack([_guess_pair(p[2]) for p in pairs])
+    n = len(pairs)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if n % mesh.shape["data"]:
+            raise ValueError(
+                f"len(pairs)={n} must be a multiple of the mesh data axis "
+                f"({mesh.shape['data']})"
             )
+        sharding = NamedSharding(mesh, PartitionSpec("data"))
+        c1 = jax.tree.map(lambda x: jax.device_put(x, sharding), c1)
+        c2 = jax.tree.map(lambda x: jax.device_put(x, sharding), c2)
+        guesses = jax.device_put(guesses, sharding)
+
+    with timer.stage("coarse", items=n):
+        s, t, chk = jax.vmap(
+            lambda a, b: _stage_flat(a, b, flat_cap, cfg.voxel_leaf)
+        )(c1, c2)
+        bucket = _pow2_bucket(
+            max(int(jnp.max(s[2])), int(jnp.max(t[2]))), flat_cap
         )
-    return out
+        float(jnp.sum(chk))
+        best = jax.vmap(
+            lambda sx, sm, tx, tm, g: _stage_coarse(sx, sm, tx, tm, g, cfg, bucket)
+        )(s[0], s[1], t[0], t[1], guesses)
+        best = jax.tree.map(np.asarray, jax.device_get(best))
+
+    if not cfg.use_refinement:
+        return [
+            (jax.tree.map(lambda a: a[i], best), None) for i in range(n)
+        ]
+
+    with timer.stage("fine", items=n):
+        a, b, chk2 = jax.vmap(
+            lambda x, y: _stage_voxel_full(x, y, cfg.voxel_leaf)
+        )(c1, c2)
+        fbucket = _fine_bucket(
+            max(int(jnp.max(a[2])), int(jnp.max(b[2]))), c1.capacity
+        )
+        float(jnp.sum(chk2))
+        fine = jax.vmap(
+            lambda sx, sm, tx, tm, g: _stage_fine(sx, sm, tx, tm, g, cfg, fbucket)
+        )(a[0], a[1], b[0], b[1], jnp.asarray(best.transform))
+        fine = jax.tree.map(np.asarray, jax.device_get(fine))
+
+    return [
+        (jax.tree.map(lambda x: x[i], best), jax.tree.map(lambda x: x[i], fine))
+        for i in range(n)
+    ]
 
 
 def register_pair(
@@ -184,37 +261,34 @@ def register_pair(
     flat_cap: int = 32768,
     timer: StageTimer | None = None,
 ) -> tuple[object, object]:
-    """Returns (best coarse IcpResult, fine IcpResult or None)."""
+    """Returns (best coarse IcpResult, fine IcpResult or None).
+
+    Stage timing matches the reference's split exactly
+    (BatchTopPartRegistration.cpp:471-506): "coarse" covers flat prep +
+    normals + both coarse ICPs, "fine" covers the full-cloud voxel + fine
+    ICP; each stage is forced to the host before its timer stops, so the
+    reported numbers are measured, not apportioned."""
     timer = timer or StageTimer()
+    guesses = _guess_pair(angle_guess_deg)
+
+    with timer.stage("coarse"):
+        s, t, chk = _stage_flat(cloud_1, cloud_2, flat_cap, cfg.voxel_leaf)
+        bucket = _pow2_bucket(max(int(s[2]), int(t[2])), flat_cap)
+        float(chk)
+        best = _stage_coarse(s[0], s[1], t[0], t[1], guesses, cfg, bucket)
+        best = jax.tree.map(np.asarray, jax.device_get(best))
+
     if not cfg.use_refinement:
-        with timer.stage("coarse"):
-            src, src_mask, _, _ = _prepare_flat(
-                cloud_1, flat_cap, cfg.voxel_leaf, cfg.normal_radius
-            )
-            tgt, tgt_mask, tgt_normals, normal_ok = _prepare_flat(
-                cloud_2, flat_cap, cfg.voxel_leaf, cfg.normal_radius
-            )
-            results = _coarse_two_guesses(
-                src, src_mask, tgt, tgt_mask, tgt_normals, normal_ok,
-                _guess_pair(angle_guess_deg), cfg,
-            )
-            best_i = 0 if float(results.fitness[0]) < float(results.fitness[1]) else 1
-            best = jax.tree.map(lambda a: a[best_i], results)
-            _ = float(best.fitness)
         return best, None
 
-    with timer.stage("coarse+fine"):
-        best, fine = _register_pair_fused(
-            cloud_1, cloud_2, _guess_pair(angle_guess_deg), cfg, flat_cap
+    with timer.stage("fine"):
+        a, b, chk2 = _stage_voxel_full(cloud_1, cloud_2, cfg.voxel_leaf)
+        fbucket = _fine_bucket(max(int(a[2]), int(b[2])), cloud_1.capacity)
+        float(chk2)
+        fine = _stage_fine(
+            a[0], a[1], b[0], b[1], jnp.asarray(best.transform), cfg, fbucket
         )
-        # force results to the host so the timer covers real execution
-        best = jax.tree.map(np.asarray, jax.device_get(best))
         fine = jax.tree.map(np.asarray, jax.device_get(fine))
-    # split this pair's fused wall time across the reference's two report lines
-    dt = timer.totals_ms.pop("coarse+fine", 0.0)
-    timer.counts.pop("coarse+fine", None)
-    timer.totals_ms["coarse"] += dt / 2
-    timer.totals_ms["fine"] += dt / 2
     return best, fine
 
 
@@ -241,13 +315,23 @@ def run_batch_top_part_registration(
     capacity: int | None = None,
     flat_cap: int = 32768,
     pair_batch: int = 1,
+    devices: int | None = None,
 ) -> list[PairReport]:
     """The batch evaluator.  Returns per-pair reports; writes the precision
     report and prints the reference-style summary.
 
     ``pair_batch > 1`` runs that many pairs as one vmapped device dispatch
-    (requires an explicit ``capacity`` so all clouds share one shape)."""
+    (requires an explicit ``capacity`` so all clouds share one shape);
+    ``devices=N`` additionally shards the pair axis over an N-way
+    data-parallel mesh (pair_batch must be a multiple of N)."""
     matches = load_match_results(match_results_filename)
+    mesh = None
+    if devices is not None and devices > 1:
+        from pctpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=devices, n_points=1)
+        if pair_batch % devices:
+            pair_batch = -(-pair_batch // devices) * devices
     timer = StageTimer()
     reports: list[PairReport] = []
     count_success = 0
@@ -288,12 +372,8 @@ def run_batch_top_part_registration(
                 )
                 for m in padded
             ]
-            with timer.stage("coarse+fine", items=len(chunk)):
-                results = register_pairs(pairs, cfg, flat_cap=flat_cap)
-            dt = timer.totals_ms.pop("coarse+fine", 0.0)
-            timer.counts.pop("coarse+fine", None)
-            timer.totals_ms["coarse"] += dt / 2
-            timer.totals_ms["fine"] += dt / 2
+            results = register_pairs(pairs, cfg, flat_cap=flat_cap, timer=timer,
+                                     mesh=mesh)
             for m, (best, fine) in zip(chunk, results):
                 yield m, best, fine
 

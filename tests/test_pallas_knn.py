@@ -33,3 +33,74 @@ def test_pallas_nn_masked_queries_interpret():
     qm[100:] = False
     idx, d2 = pallas_nn_1(q, qm, t, np.ones(300, bool), tq=128, tt=256, interpret=True)
     assert np.all(np.isinf(np.asarray(d2)[100:]))
+
+
+def test_pruned_nn_exact_no_threshold():
+    import jax.numpy as jnp
+
+    from pctpu.ops.knn import nn_1
+    from pctpu.ops.pallas_knn import pallas_nn_1_pruned, spatial_sort
+
+    rng = np.random.default_rng(0)
+    q = rng.uniform(-50, 50, (700, 3)).astype(np.float32)
+    t = rng.uniform(-50, 50, (900, 3)).astype(np.float32)
+    qm = rng.random(700) > 0.1
+    tm = rng.random(900) > 0.1
+    qs, qsm, _ = spatial_sort(jnp.asarray(q), jnp.asarray(qm))
+    ts, tsm, _ = spatial_sort(jnp.asarray(t), jnp.asarray(tm))
+    i_ref, d_ref = nn_1(qs, qsm, ts, tsm)
+    i_p, d_p = pallas_nn_1_pruned(qs, qsm, ts, tsm, max_distance=None,
+                                  tq=128, tt=256, interpret=True)
+    valid = np.asarray(qsm)
+    np.testing.assert_array_equal(np.asarray(i_ref)[valid], np.asarray(i_p)[valid])
+    np.testing.assert_allclose(
+        np.asarray(d_ref)[valid], np.asarray(d_p)[valid], rtol=0, atol=0
+    )
+
+
+@pytest.mark.parametrize("md", [2.0, 8.0])
+def test_pruned_nn_threshold_semantics(md):
+    import jax.numpy as jnp
+
+    from pctpu.ops.knn import nn_1
+    from pctpu.ops.pallas_knn import pallas_nn_1_pruned, spatial_sort
+
+    rng = np.random.default_rng(1)
+    q = rng.uniform(-50, 50, (600, 3)).astype(np.float32)
+    t = rng.uniform(-50, 50, (800, 3)).astype(np.float32)
+    m_q = np.ones(600, bool)
+    m_t = np.ones(800, bool)
+    qs, qsm, _ = spatial_sort(jnp.asarray(q), jnp.asarray(m_q))
+    ts, tsm, _ = spatial_sort(jnp.asarray(t), jnp.asarray(m_t))
+    i_ref, d_ref = nn_1(qs, qsm, ts, tsm)
+    i_p, d_p = pallas_nn_1_pruned(qs, qsm, ts, tsm, max_distance=md,
+                                  tq=128, tt=256, interpret=True)
+    d_ref, d_p = np.asarray(d_ref), np.asarray(d_p)
+    within = d_ref <= md * md
+    # within the threshold: exact NN; beyond: either +inf or a (rejected)
+    # candidate farther than the threshold
+    np.testing.assert_array_equal(np.asarray(i_ref)[within], np.asarray(i_p)[within])
+    np.testing.assert_allclose(d_ref[within], d_p[within], rtol=0, atol=0)
+    beyond = ~within
+    assert np.all(~np.isfinite(d_p[beyond]) | (d_p[beyond] > md * md))
+
+
+def test_icp_pruned_nn_matches_xla():
+    """Full ICP through the pruned-NN path == the XLA path (same scene as the
+    oracle tests; spatial sorting only permutes reduction order)."""
+    from pctpu.config import IcpConfig
+    from pctpu.ops.icp import icp_point_to_point
+
+    from .test_icp_differential import scene
+
+    src, tgt = scene(42)
+    sm = np.ones(len(src), bool)
+    tm = np.ones(len(tgt), bool)
+    guess = np.eye(4, dtype=np.float32)
+    cfg = IcpConfig(max_correspondence_distance=4.0, max_iterations=8)
+    a = icp_point_to_point(src, sm, tgt, tm, guess, cfg, nn_impl="xla")
+    b = icp_point_to_point(src, sm, tgt, tm, guess, cfg, nn_impl="pruned_interpret")
+    assert bool(a.converged) == bool(b.converged)
+    np.testing.assert_allclose(np.asarray(a.transform), np.asarray(b.transform),
+                               atol=1e-5)
+    np.testing.assert_allclose(float(a.fitness), float(b.fitness), rtol=1e-4)
