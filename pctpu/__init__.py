@@ -23,6 +23,20 @@ from pctpu.config import (
     parse_sensor_type,
 )
 
+
+def __getattr__(name):
+    # the pcl_norm_2d library facades (heavy imports deferred)
+    if name == "Normal2dEstimation":
+        from pctpu.ops.normals2d import Normal2dEstimation
+
+        return Normal2dEstimation
+    if name == "PCA2D":
+        from pctpu.ops.pca2d import PCA2D
+
+        return PCA2D
+    raise AttributeError(name)
+
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -35,4 +49,6 @@ __all__ = [
     "SingleBevConfig",
     "get_sensor_params",
     "parse_sensor_type",
+    "Normal2dEstimation",
+    "PCA2D",
 ]

@@ -23,7 +23,14 @@ MAX_NUM_POINTS = N_SCAN * HORIZON_SCAN
 
 def read_bin(path: str, max_points: int = MAX_NUM_POINTS) -> dict[str, np.ndarray]:
     """Read a MulRan Ouster .bin into XYZIRCT field arrays (unstructured —
-    the selector stores the raw point sequence with row/col annotations)."""
+    the selector stores the raw point sequence with row/col annotations).
+
+    Documented divergence: the reference's ``while (!file.eof())`` loop
+    (/root/reference/MulranPointCloudSelect.cpp:114-128) pushes one final
+    point after the last read FAILS, so its keyframe PCDs declare POINTS =
+    N+1 with uninitialized coordinates (but a valid row/col from the stale
+    loop counter) in the extra slot.  The garbage bytes are unreproducible;
+    this reader returns exactly N points (see README Fidelity notes)."""
     raw = np.fromfile(path, np.float32)
     pts = raw[: (len(raw) // 4) * 4].reshape(-1, 4)[:max_points]
     n = len(pts)

@@ -128,6 +128,43 @@ def _ascii_value(v) -> str:
     return str(int(v))
 
 
+def _lzf_decompress(data: bytes, expected_size: int) -> bytes:
+    """liblzf decompression (the PCD binary_compressed codec).
+
+    Control byte < 32 ⇒ literal run of ctrl+1 bytes; otherwise a back
+    reference: length = (ctrl >> 5) (+ext byte when 7) + 2, offset =
+    ((ctrl & 0x1f) << 8 | next byte) + 1.  Pure Python — compressed PCDs are
+    an interop path only, never written by the pipelines."""
+    out = bytearray(expected_size)
+    i, o, nin = 0, 0, len(data)
+    while i < nin:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 32:
+            run = ctrl + 1
+            out[o : o + run] = data[i : i + run]
+            i += run
+            o += run
+        else:
+            length = ctrl >> 5
+            if length == 7:
+                length += data[i]
+                i += 1
+            ref = o - ((ctrl & 0x1F) << 8) - data[i] - 1
+            i += 1
+            if ref < 0:
+                raise ValueError("corrupt LZF stream: reference before start")
+            for _ in range(length + 2):  # may overlap: byte-by-byte copy
+                out[o] = out[ref]
+                o += 1
+                ref += 1
+    if o != expected_size:
+        raise ValueError(
+            f"corrupt LZF stream: expected {expected_size} bytes, got {o}"
+        )
+    return bytes(out)
+
+
 def read_pcd(path: str) -> tuple[dict[str, np.ndarray], dict]:
     """Read a PCD file (binary or ascii).
 
@@ -173,6 +210,24 @@ def read_pcd(path: str) -> tuple[dict[str, np.ndarray], dict]:
             vals = flat[:, col : col + w]
             rec[f.name] = (vals[:, 0] if w == 1 else vals).astype(f.dtype)
             col += w
+    elif mode == "binary_compressed":
+        # [u32 compressed size][u32 uncompressed size][LZF data], field-major
+        # (SoA): all values of field 0, then field 1, ... (pcl::io::
+        # savePCDFileBinaryCompressed layout; loadPCDFile accepts it, so
+        # externally-produced clouds may arrive this way — the reference
+        # tools themselves only ever write plain binary)
+        comp_size, uncomp_size = np.frombuffer(blob, np.uint32, 2, offset=pos)
+        payload = _lzf_decompress(
+            blob[pos + 8 : pos + 8 + int(comp_size)], int(uncomp_size)
+        )
+        rec = np.empty(n, dtype)
+        off = 0
+        for f in fields:
+            fdt = np.dtype(f.dtype)
+            nbytes = n * f.count * fdt.itemsize
+            col = np.frombuffer(payload, fdt, n * f.count, offset=off)
+            rec[f.name] = col if f.count == 1 else col.reshape(n, f.count)
+            off += nbytes
     else:
         raise ValueError(f"unsupported PCD DATA mode: {mode}")
 

@@ -14,17 +14,25 @@ import numpy as np
 from pctpu.config import SelectConfig
 
 
-def greedy_keyframe_mask(positions: np.ndarray, interval: float) -> np.ndarray:
-    """Greedy distance gate over a pose sequence.
+def greedy_keyframe_mask(
+    positions: np.ndarray,
+    interval: float,
+    sentinel: tuple[float, float, float] = (-1e10, -1e10, 0.0),
+) -> np.ndarray:
+    """Greedy distance gate over a pose sequence — THE keyframe gate used by
+    every selector pipeline.
 
-    positions: (N, 3) float32.  Keeps frame i iff its distance to the last
-    *kept* frame is >= interval (/root/reference/KittiPointCloudSelect.cpp:442-470).
-    The first comparison is against (-1e10, -1e10, 0) like the reference's
-    sentinel (:440), so frame 0 is always kept.
+    positions: (N, 3) float32.  Keeps frame i iff its f32 distance to the
+    last *kept* frame is >= interval
+    (/root/reference/KittiPointCloudSelect.cpp:442-470).  The first
+    comparison is against ``sentinel``: KITTI uses (-1e10, -1e10, 0)
+    (:440, the default — frame 0 always kept); MulRan/Oxford start from the
+    origin (/root/reference/MulranPointCloudSelect.cpp:318), so their frame 0
+    is kept only if it is >= interval from (0, 0, 0).
     """
     positions = np.asarray(positions, np.float32)
     keep = np.zeros(len(positions), bool)
-    last = np.array([-1e10, -1e10, 0.0], np.float32)
+    last = np.asarray(sentinel, np.float32)
     for i, p in enumerate(positions):
         d = np.sqrt(np.sum((p - last) ** 2, dtype=np.float32))
         if d < interval:

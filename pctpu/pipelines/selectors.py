@@ -27,6 +27,7 @@ from pctpu.geom.se3 import (
 from pctpu.io import kitti, mulran, oxford
 from pctpu.io.pcd import write_pcd
 from pctpu.io.poses import format_pose_entry, write_pose_format_file
+from pctpu.ops.select import greedy_keyframe_mask
 from pctpu.utils import logging as log
 
 
@@ -69,13 +70,15 @@ def run_kitti_select(
 
     write_pose_format_file(out_root + "keyframe_pose_format.csv")
 
+    positions = np.array([t[:3, 3] for t in lidar_poses], np.float32).reshape(-1, 3)
+    keep = greedy_keyframe_mask(positions, interval)
     keyframe_idx = 0
     last = np.array([-1e10, -1e10, 0.0], np.float32)
     with open(out_root + "keyframe_pose.csv", "w") as f_poses:
         for cloud_idx in range(len(stamps)):
             t = lidar_poses[cloud_idx]
             pos = t[:3, 3].astype(np.float32)
-            if _dist32(pos, last) < interval:
+            if not keep[cloud_idx]:
                 continue
             log.info(
                 f"Saving keyframe: {keyframe_idx}, dist to last keyframe: {_dist32(pos, last)}"
@@ -116,32 +119,45 @@ def _run_interpolating_select(
     interpolation between bracketing GT poses
     (/root/reference/MulranPointCloudSelect.cpp:320-346)."""
     write_pose_format_file(out_root + "keyframe_pose_format.csv")
-    keyframe_idx = 0
-    last = np.zeros(3, np.float32)  # MulRan sentinel is the origin (:318)
+
+    # pass 1: interpolate a pose for every cloud that has bracketing GT
+    # (monotone cursor like the reference, :320-346), then gate with the
+    # shared greedy keyframe op (sentinel = origin, :318)
+    candidates: list[tuple[int, int, object]] = []  # (cloud_idx, stamp, pose)
     last_gt_idx = 1
+    for cloud_idx in range(len(cloud_stamps)):
+        stamp = int(cloud_stamps[cloud_idx])
+        found = False
+        for gt_idx in range(last_gt_idx, len(gt_stamps)):
+            if gt_stamps[gt_idx - 1] <= stamp <= gt_stamps[gt_idx]:
+                last_gt_idx = gt_idx
+                found = True
+                break
+        if not found:
+            log.error(f"Could not find pose for cloud at timestamp: {stamp}")
+            continue
+        # duplicate GT stamps give 0/0 in the reference's double math
+        # (NaN pose, frame still processed) — keep that, don't raise
+        with np.errstate(invalid="ignore", divide="ignore"):
+            lam = float(
+                np.float64(stamp - gt_stamps[gt_idx - 1])
+                / np.float64(gt_stamps[gt_idx] - gt_stamps[gt_idx - 1])
+            )
+        pose = interpolate_pose(gt_poses[gt_idx - 1], gt_poses[gt_idx], lam)
+        candidates.append((cloud_idx, stamp, pose))
+
+    positions = np.array(
+        [p.position() for _, _, p in candidates], np.float32
+    ).reshape(-1, 3)
+    keep = greedy_keyframe_mask(positions, interval, sentinel=(0.0, 0.0, 0.0))
+
+    keyframe_idx = 0
+    last = np.zeros(3, np.float32)
     with open(out_root + "keyframe_pose.csv", "w") as f_poses:
-        for cloud_idx in range(len(cloud_stamps)):
-            stamp = int(cloud_stamps[cloud_idx])
-            found = False
-            for gt_idx in range(last_gt_idx, len(gt_stamps)):
-                if gt_stamps[gt_idx - 1] <= stamp <= gt_stamps[gt_idx]:
-                    last_gt_idx = gt_idx
-                    found = True
-                    break
-            if not found:
-                log.error(f"Could not find pose for cloud at timestamp: {stamp}")
+        for ci, (cloud_idx, stamp, pose) in enumerate(candidates):
+            if not keep[ci]:
                 continue
-            # duplicate GT stamps give 0/0 in the reference's double math
-            # (NaN pose, frame still processed) — keep that, don't raise
-            with np.errstate(invalid="ignore", divide="ignore"):
-                lam = float(
-                    np.float64(stamp - gt_stamps[gt_idx - 1])
-                    / np.float64(gt_stamps[gt_idx] - gt_stamps[gt_idx - 1])
-                )
-            pose = interpolate_pose(gt_poses[gt_idx - 1], gt_poses[gt_idx], lam)
             pos = pose.position()
-            if _dist32(pos, last) < interval:
-                continue
             log.info(
                 f"Saving keyframe: {keyframe_idx}, dist to last keyframe: {_dist32(pos, last)}"
             )

@@ -395,3 +395,49 @@ def icp_ref(
         "transform": final,
         "trace": trace,
     }
+
+
+def normals2d_knn_ref(points: np.ndarray, k: int):
+    """setKSearch-mode Normal2dEstimation loops
+    (/root/reference/src/Normal2dEstimation.cpp:29-38 nearestKSearch branch).
+    Returns (normals (N,2), valid (N,))."""
+    points = np.asarray(points, np.float64)[:, :2]
+    n = len(points)
+    normals = np.zeros((n, 2))
+    valid = np.zeros(n, bool)
+    for i in range(n):
+        d2 = np.sum((points - points[i]) ** 2, axis=1)
+        order = np.argsort(d2, kind="stable")[: min(k, n)]
+        if len(order) < 2:
+            continue
+        if len(order) == 2:
+            vect = points[order[0]] - points[order[1]]
+            vect = vect / np.linalg.norm(vect)
+            nrm = np.array([-vect[1], vect[0]])
+        else:
+            sel = points[order]
+            mu = sel.mean(axis=0)
+            d = sel - mu
+            scatter = d.T @ d
+            w, v = np.linalg.eigh(scatter)
+            nrm = v[:, 0]
+        vp = -points[i]
+        if np.dot(vp, nrm) < 0:
+            nrm = -nrm
+        normals[i] = nrm
+        valid[i] = True
+    return normals, valid
+
+
+def pca2d_ref(points: np.ndarray, indices=None):
+    """PCA2D::initCompute + project loops (/root/reference/src/PCA2D.cpp:8-42,
+    :81-108).  Returns (mean (2,), eigenvalues desc (2,), eigenvectors (2,2)
+    columns desc)."""
+    p2 = np.asarray(points, np.float64)[:, :2]
+    if indices is not None:
+        p2 = p2[np.asarray(indices)]
+    mean = p2.mean(axis=0)
+    d = p2 - mean
+    scatter = d.T @ d  # unnormalized, like cloud_demean * cloud_demean^T
+    w, v = np.linalg.eigh(scatter)  # ascending
+    return mean, w[::-1].copy(), v[:, ::-1].copy()

@@ -1,0 +1,124 @@
+"""L2 public-library API parity: setKSearch-mode 2-D normals and
+PCA2D project/setIndices (VERDICT r1 missing item 2), oracle-tested."""
+
+import numpy as np
+import pytest
+
+from pctpu.ops.normals2d import Normal2dEstimation, normals_2d, normals_2d_knn
+from pctpu.ops.pca2d import PCA2D, pca2d_fit, pca2d_project
+
+from . import ref_impl
+
+
+def cloud(seed, n=120):
+    rng = np.random.default_rng(seed)
+    # anisotropic cluster + line to give distinct eigenpairs
+    a = rng.normal(0, [3.0, 0.5], (n // 2, 2))
+    t = rng.uniform(-4, 4, n - n // 2)
+    b = np.stack([t, 0.5 * t + rng.normal(0, 0.1, len(t))], 1)
+    p2 = np.concatenate([a, b]).astype(np.float32)
+    return np.concatenate([p2, np.zeros((n, 1), np.float32)], axis=1)
+
+
+@pytest.mark.parametrize("seed,k", [(0, 5), (1, 9), (2, 2), (3, 30)])
+def test_knn_normals_match_oracle(seed, k):
+    xyz = cloud(seed)
+    mask = np.ones(len(xyz), bool)
+    nrm, curv, ok = normals_2d_knn(xyz, mask, k)
+    ref_n, ref_ok = ref_impl.normals2d_knn_ref(xyz, k)
+    np.testing.assert_array_equal(np.asarray(ok), ref_ok)
+    ours = np.asarray(nrm)[:, :2]
+    # normals match up to the eigen-solver's inherent sign for exact-ties;
+    # the viewpoint flip fixes the sign except when the normal is exactly
+    # perpendicular to the viewpoint ray
+    for i in np.flatnonzero(ref_ok):
+        d = min(np.linalg.norm(ours[i] - ref_n[i]), np.linalg.norm(ours[i] + ref_n[i]))
+        assert d < 5e-3, (i, ours[i], ref_n[i])
+
+
+def test_knn_k1_invalid():
+    xyz = cloud(4)
+    mask = np.ones(len(xyz), bool)
+    _, _, ok = normals_2d_knn(xyz, mask, 1)
+    assert not np.asarray(ok).any()
+
+
+def test_facade_radius_equals_function():
+    xyz = cloud(5)
+    est = Normal2dEstimation()
+    est.set_input_cloud(xyz)
+    est.set_radius_search(2.0)
+    n1, c1, ok1 = est.compute()
+    n2, c2, ok2 = normals_2d(xyz, np.ones(len(xyz), bool), radius=2.0)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+
+
+def test_facade_exclusive_modes():
+    est = Normal2dEstimation()
+    est.set_input_cloud(cloud(6))
+    with pytest.raises(RuntimeError):
+        est.compute()  # neither set
+    est.set_radius_search(2.0)
+    est.set_k_search(5)
+    with pytest.raises(RuntimeError):
+        est.compute()  # both set
+
+
+def test_facade_indices_restrict_tree_and_queries():
+    """With setIndices, both queries and the kd-tree restrict to the subset
+    (Normal2dEstimation.cpp:126)."""
+    xyz = cloud(7)
+    idx = np.arange(0, len(xyz), 2)
+    est = Normal2dEstimation()
+    est.set_input_cloud(xyz)
+    est.set_indices(idx)
+    est.set_k_search(5)
+    n_sub, _, ok_sub = est.compute()
+    # equals computing on the compacted subset cloud
+    n_direct, _, ok_direct = normals_2d_knn(xyz[idx], np.ones(len(idx), bool), 5)
+    np.testing.assert_array_equal(np.asarray(n_sub)[: len(idx)], np.asarray(n_direct))
+    assert not np.asarray(n_sub)[len(idx):].any()  # tail stays zero
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("use_indices", [False, True])
+def test_pca2d_fit_matches_oracle(seed, use_indices):
+    xyz = cloud(seed + 20)
+    rng = np.random.default_rng(seed)
+    indices = np.sort(rng.choice(len(xyz), 60, replace=False)) if use_indices else None
+    ref_mean, ref_w, ref_v = ref_impl.pca2d_ref(xyz, indices)
+
+    pca = PCA2D()
+    pca.set_input_cloud(xyz)
+    pca.set_indices(indices)
+    np.testing.assert_allclose(np.asarray(pca.get_mean()), ref_mean, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pca.get_eigen_values()), ref_w,
+                               rtol=1e-4, atol=1e-3)
+    v = np.asarray(pca.get_eigen_vectors())
+    for col in range(2):
+        d = min(np.linalg.norm(v[:, col] - ref_v[:, col]),
+                np.linalg.norm(v[:, col] + ref_v[:, col]))
+        assert d < 1e-3
+
+
+def test_pca2d_project_roundtrip():
+    xyz = cloud(30)
+    pca = PCA2D()
+    pca.set_input_cloud(xyz)
+    proj = np.asarray(pca.project(xyz))
+    assert proj.shape == (len(xyz), 3)
+    assert np.all(proj[:, 2] == 0.0)
+    # projection = eigvecs^T (p - mean): reconstruct and compare
+    v = np.asarray(pca.get_eigen_vectors())
+    mean = np.asarray(pca.get_mean())
+    rec = proj[:, :2] @ v.T + mean
+    np.testing.assert_allclose(rec, xyz[:, :2], atol=1e-4)
+    # projected cloud is centred and decorrelated
+    assert abs(proj[:, 0].mean()) < 1e-4 and abs(proj[:, 1].mean()) < 1e-4
+    cov = np.cov(proj[:, 0], proj[:, 1])
+    assert abs(cov[0, 1]) < 1e-2 * cov[0, 0]
+
+
+def test_pca2d_requires_cloud():
+    with pytest.raises(RuntimeError):
+        PCA2D().get_mean()

@@ -111,3 +111,64 @@ def test_negative_label_sign_extension(tmp_path):
     write_pcd(path, data)
     cloud = load_cloud_pcd(path)
     np.testing.assert_array_equal(np.asarray(cloud.label), [-2, 0, 1])
+
+
+# --- binary_compressed (LZF) reading ----------------------------------------
+
+
+def _lzf_compress_literals(data: bytes) -> bytes:
+    """Minimal valid LZF stream: literal runs only (every control < 32)."""
+    out = bytearray()
+    for i in range(0, len(data), 32):
+        chunk = data[i : i + 32]
+        out.append(len(chunk) - 1)
+        out += chunk
+    return bytes(out)
+
+
+def test_lzf_decompress_backref():
+    from pctpu.io.pcd import _lzf_decompress
+
+    # literal "XYZ" + 9-byte overlapping back reference (offset 3)
+    stream = bytes([0x02]) + b"XYZ" + bytes([0xE0, 0x00, 0x02])
+    assert _lzf_decompress(stream, 12) == b"XYZXYZXYZXYZ"
+
+
+def test_read_binary_compressed_pcd(tmp_path):
+    from pctpu.io.pcd import read_pcd, save_cloud_pcd
+    from pctpu.cloud import make_cloud
+
+    rng = np.random.default_rng(0)
+    n = 37
+    xyz = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    cloud = make_cloud(
+        xyz,
+        intensity=rng.random(n).astype(np.float32),
+        row=rng.integers(0, 64, n).astype(np.int32),
+        col=rng.integers(0, 2083, n).astype(np.int32),
+        t=rng.integers(0, 1000, n).astype(np.uint32),
+        label=np.full(n, -2, np.int32),
+    )
+    ref_path = str(tmp_path / "plain.pcd")
+    save_cloud_pcd(ref_path, cloud)
+    plain, meta = read_pcd(ref_path)
+
+    # rebuild the same cloud as DATA binary_compressed (SoA field-major)
+    with open(ref_path, "rb") as f:
+        blob = f.read()
+    header_end = blob.index(b"DATA binary\n")
+    header = blob[:header_end].decode()
+    soa = b""
+    for f_ in meta["fields"]:
+        soa += np.ascontiguousarray(plain[f_.name]).tobytes()
+    comp = _lzf_compress_literals(soa)
+    cpath = str(tmp_path / "compressed.pcd")
+    with open(cpath, "wb") as f:
+        f.write(header.encode() + b"DATA binary_compressed\n")
+        f.write(np.array([len(comp), len(soa)], np.uint32).tobytes())
+        f.write(comp)
+
+    got, meta2 = read_pcd(cpath)
+    assert meta2["points"] == n
+    for name in plain:
+        np.testing.assert_array_equal(got[name], plain[name])
