@@ -213,7 +213,8 @@ def measure_registration() -> float:
     # is one vmapped dispatch over the pair axis
     from pctpu.pipelines.registration import register_pairs
 
-    n_pairs = 8
+    n_pairs = 16  # batch 24 measured slower (HBM pressure); 8 leaves
+    # dispatch latency unamortized
     def batch(off):
         return [
             (c1.replace(xyz=c1.xyz + (off + i) * 1e-4), c2, 17.0)

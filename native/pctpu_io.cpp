@@ -105,4 +105,37 @@ int pctpu_write_multi_bev(const uint8_t* multi, int layers, int h, int w,
   return 0;
 }
 
+// liblzf decompression (the PCD binary_compressed codec).  Returns the
+// number of bytes written to out, or -1 on a corrupt stream / overflow.
+long pctpu_lzf_decompress(const uint8_t* in, long in_len,
+                          uint8_t* out, long out_cap) {
+  long i = 0, o = 0;
+  while (i < in_len) {
+    unsigned ctrl = in[i++];
+    if (ctrl < 32) {  // literal run of ctrl+1 bytes
+      long run = static_cast<long>(ctrl) + 1;
+      if (i + run > in_len || o + run > out_cap) return -1;
+      std::memcpy(out + o, in + i, run);
+      i += run;
+      o += run;
+    } else {  // back reference
+      long len = ctrl >> 5;
+      if (len == 7) {
+        if (i >= in_len) return -1;
+        len += in[i++];
+      }
+      if (i >= in_len) return -1;
+      long ref = o - (static_cast<long>(ctrl & 0x1F) << 8) - in[i++] - 1;
+      len += 2;
+      if (ref < 0 || o + len > out_cap) return -1;
+      for (long k = 0; k < len; ++k) {  // may overlap: byte-by-byte
+        out[o] = out[ref];
+        ++o;
+        ++ref;
+      }
+    }
+  }
+  return o;
+}
+
 }  // extern "C"

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from pctpu.config import IcpConfig
 from pctpu.ops.knn import nn_1
-from pctpu.ops.pallas_knn import pallas_nn_1_pruned, spatial_sort
+from pctpu.ops.pallas_knn import pallas_nn_1_pruned, spatial_sort_payload
 
 
 @jax.tree_util.register_dataclass
@@ -153,12 +153,18 @@ def _icp_impl(
         # preserves it, so the source order holds across iterations (bboxes
         # are recomputed from transformed positions every call)
         interp = nn_impl == "pruned_interpret"
-        tgt_xyz, tgt_mask, t_order = spatial_sort(tgt_xyz, tgt_mask)
         if tgt_normals is not None:
-            tgt_normals = tgt_normals[t_order]
+            nm = (
+                jnp.ones_like(tgt_mask) if normal_mask is None else normal_mask
+            ).astype(jnp.int32)
+            tgt_xyz, tgt_mask, tgt_normals, nm_s = spatial_sort_payload(
+                tgt_xyz, tgt_mask, tgt_normals, nm
+            )
             if normal_mask is not None:
-                normal_mask = normal_mask[t_order]
-        src_xyz, src_mask, _ = spatial_sort(src_xyz, src_mask)
+                normal_mask = nm_s.astype(bool)
+        else:
+            tgt_xyz, tgt_mask = spatial_sort_payload(tgt_xyz, tgt_mask)
+        src_xyz, src_mask = spatial_sort_payload(src_xyz, src_mask)
 
         def nn_corr(q, qm, tmask):
             return pallas_nn_1_pruned(

@@ -16,6 +16,7 @@ buckets.  The compacted output preserves the reference's exact point order.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from pctpu.cloud import Cloud
@@ -38,26 +39,43 @@ def extract_top_and_flatten(
         & cloud.valid_mask()
     )
     cell = jnp.where(ok, gx * cfg.num_grid_y + gy, ncell)
-
-    counts = jnp.zeros((ncell + 1,), jnp.int32).at[cell].add(1)
-    k = c_round(cfg.top_fraction * counts.astype(jnp.float32)).astype(jnp.int32)
-    k = jnp.where(counts[:ncell] >= cfg.min_grid_points, k[:ncell], 0)
-    k = jnp.concatenate([k, jnp.zeros((1,), jnp.int32)])  # dropped bucket keeps 0
-
-    # global sort: cell ascending, z descending (stable → original order ties)
-    order = jnp.lexsort((-cloud.z, cell))
-    cell_sorted = cell[order]
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
-    )
     p = cloud.capacity
-    rank = jnp.arange(p, dtype=jnp.int32) - starts[cell_sorted]
-    keep = rank < k[cell_sorted]
+
+    # global sort: cell ascending, z descending (stable → original order on
+    # ties).  Payload-carrying multi-operand sort: a v5e gather costs ~8 ns
+    # per index while an extra sort operand is nearly free, so x/y ride the
+    # sort instead of being fetched through argsort indices afterwards.
+    cell_s, _, x_s, y_s = jax.lax.sort(
+        [cell, -cloud.z, cloud.x, cloud.y], num_keys=2, is_stable=True
+    )
+
+    # per-point run geometry from boundary scans (no scatters):
+    # rank inside the cell and the cell's total count
+    i = jnp.arange(p, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), cell_s[1:] != cell_s[:-1]]
+    )
+    is_end = jnp.concatenate([cell_s[1:] != cell_s[:-1], jnp.ones((1,), bool)])
+    run_start = jax.lax.cummax(jnp.where(is_start, i, 0))
+    run_end = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(is_end, i, p))))
+    rank = i - run_start
+    count_pt = (run_end - run_start + 1).astype(jnp.float32)
+    k_pt = c_round(cfg.top_fraction * count_pt).astype(jnp.int32)
+    k_pt = jnp.where(count_pt >= cfg.min_grid_points, k_pt, 0)
+    keep = (rank < k_pt) & (cell_s < ncell)
 
     # compact kept points to the front, preserving sorted (reference) order
-    compact = jnp.argsort(~keep, stable=True)
-    src = order[compact]
-    keep_c = keep[compact]
-    xyz = jnp.where(keep_c[:, None], cloud.xyz[src], 0.0)
-    xyz = xyz.at[:, 2].set(0.0)  # flatten (:140-143)
-    return xyz, keep_c, jnp.sum(keep.astype(jnp.int32))
+    nkept = jnp.sum(keep.astype(jnp.int32))
+    _, x_c, y_c = jax.lax.sort(
+        [(~keep).astype(jnp.int32), x_s, y_s], num_keys=1, is_stable=True
+    )
+    keep_c = i < nkept
+    xyz = jnp.stack(
+        [
+            jnp.where(keep_c, x_c, 0.0),
+            jnp.where(keep_c, y_c, 0.0),
+            jnp.zeros((p,), jnp.float32),  # flatten (:140-143)
+        ],
+        axis=1,
+    )
+    return xyz, keep_c, nkept

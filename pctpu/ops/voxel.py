@@ -13,6 +13,7 @@ all static shapes, fully parallel.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -44,10 +45,15 @@ def voxel_downsample(
     sentinel = div[0] * div[1] * div[2]
     key = jnp.where(mask, key, sentinel)
 
-    order = jnp.argsort(key, stable=True)
-    key_s = key[order]
-    xyz_s = xyz[order]
-    mask_s = mask[order]
+    # payload-carrying stable sort (x/y/z ride the sort; gathers through an
+    # argsort permutation cost ~8 ns/index on v5e, extra sort operands don't)
+    key_s, x_s, y_s, z_s, m_s = jax.lax.sort(
+        [key, xyz[:, 0], xyz[:, 1], xyz[:, 2], mask.astype(jnp.int32)],
+        num_keys=1,
+        is_stable=True,
+    )
+    xyz_s = jnp.stack([x_s, y_s, z_s], axis=1)
+    mask_s = m_s.astype(bool)
 
     head = jnp.concatenate(
         [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]]

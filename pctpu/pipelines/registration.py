@@ -220,10 +220,15 @@ def register_pairs(
         s, t, chk = jax.vmap(
             lambda a, b: _stage_flat(a, b, flat_cap, cfg.voxel_leaf)
         )(c1, c2)
-        bucket = _pow2_bucket(
-            max(int(jnp.max(s[2])), int(jnp.max(t[2]))), flat_cap
+        # one fetch per stage boundary: [max src count, max tgt count, chk]
+        stats = np.asarray(
+            jnp.stack([
+                jnp.max(s[2]).astype(jnp.float32),
+                jnp.max(t[2]).astype(jnp.float32),
+                jnp.sum(chk),
+            ])
         )
-        float(jnp.sum(chk))
+        bucket = _pow2_bucket(int(max(stats[0], stats[1])), flat_cap)
         best = jax.vmap(
             lambda sx, sm, tx, tm, g: _stage_coarse(sx, sm, tx, tm, g, cfg, bucket)
         )(s[0], s[1], t[0], t[1], guesses)
@@ -238,10 +243,14 @@ def register_pairs(
         a, b, chk2 = jax.vmap(
             lambda x, y: _stage_voxel_full(x, y, cfg.voxel_leaf)
         )(c1, c2)
-        fbucket = _fine_bucket(
-            max(int(jnp.max(a[2])), int(jnp.max(b[2]))), c1.capacity
+        stats2 = np.asarray(
+            jnp.stack([
+                jnp.max(a[2]).astype(jnp.float32),
+                jnp.max(b[2]).astype(jnp.float32),
+                jnp.sum(chk2),
+            ])
         )
-        float(jnp.sum(chk2))
+        fbucket = _fine_bucket(int(max(stats2[0], stats2[1])), c1.capacity)
         fine = jax.vmap(
             lambda sx, sm, tx, tm, g: _stage_fine(sx, sm, tx, tm, g, cfg, fbucket)
         )(a[0], a[1], b[0], b[1], jnp.asarray(best.transform))
@@ -273,8 +282,10 @@ def register_pair(
 
     with timer.stage("coarse"):
         s, t, chk = _stage_flat(cloud_1, cloud_2, flat_cap, cfg.voxel_leaf)
-        bucket = _pow2_bucket(max(int(s[2]), int(t[2])), flat_cap)
-        float(chk)
+        stats = np.asarray(
+            jnp.stack([s[2].astype(jnp.float32), t[2].astype(jnp.float32), chk])
+        )
+        bucket = _pow2_bucket(int(max(stats[0], stats[1])), flat_cap)
         best = _stage_coarse(s[0], s[1], t[0], t[1], guesses, cfg, bucket)
         best = jax.tree.map(np.asarray, jax.device_get(best))
 
@@ -283,8 +294,10 @@ def register_pair(
 
     with timer.stage("fine"):
         a, b, chk2 = _stage_voxel_full(cloud_1, cloud_2, cfg.voxel_leaf)
-        fbucket = _fine_bucket(max(int(a[2]), int(b[2])), cloud_1.capacity)
-        float(chk2)
+        stats2 = np.asarray(
+            jnp.stack([a[2].astype(jnp.float32), b[2].astype(jnp.float32), chk2])
+        )
+        fbucket = _fine_bucket(int(max(stats2[0], stats2[1])), cloud_1.capacity)
         fine = _stage_fine(
             a[0], a[1], b[0], b[1], jnp.asarray(best.transform), cfg, fbucket
         )

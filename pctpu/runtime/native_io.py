@@ -50,6 +50,10 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ]
             lib.pctpu_write_multi_bev.restype = ctypes.c_int
+            lib.pctpu_lzf_decompress.argtypes = [
+                ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+            ]
+            lib.pctpu_lzf_decompress.restype = ctypes.c_long
             _lib = lib
         except Exception:
             _lib = None
@@ -109,3 +113,19 @@ def write_multi_bev(
             write_gray_png(
                 os.path.join(img_dir, f"{layer:02d}.png"), multi[layer], level
             )
+
+
+def lzf_decompress(data: bytes, expected_size: int) -> bytes | None:
+    """Native liblzf decompression; None when the library is unavailable or
+    the stream doesn't decode to exactly expected_size (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(expected_size, np.uint8)
+    src = np.frombuffer(data, np.uint8)
+    n = lib.pctpu_lzf_decompress(
+        src.ctypes.data, len(data), out.ctypes.data, expected_size
+    )
+    if n != expected_size:
+        return None
+    return out.tobytes()

@@ -34,3 +34,29 @@ def test_native_lib_builds():
     # informational: both paths are correct, but the native one should load
     # in this image (g++ + zlib available)
     assert native_available()
+
+
+def test_native_lzf_matches_python():
+    """Native liblzf decoder == the pure-Python fallback, incl. backrefs."""
+    import pctpu.io.pcd as pcd
+    import pctpu.runtime.native_io as nio
+
+    if not nio.native_available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    # literal-only stream
+    rng = np.random.default_rng(0)
+    payload = rng.integers(0, 255, 100_000, dtype=np.uint8).tobytes()
+    from .test_pcd import _lzf_compress_literals
+
+    comp = _lzf_compress_literals(payload)
+    assert nio.lzf_decompress(comp, len(payload)) == payload
+
+    # back-reference stream (overlapping copy)
+    stream = bytes([0x02]) + b"XYZ" + bytes([0xE0, 0x00, 0x02])
+    assert nio.lzf_decompress(stream, 12) == b"XYZXYZXYZXYZ"
+
+    # corrupt stream: native returns None (caller falls back / errors)
+    assert nio.lzf_decompress(stream, 13) is None
