@@ -110,6 +110,7 @@ def icp(
     normal_mask: jnp.ndarray | None = None,
     nn_tile: int = 512,
     nn_impl: str = "auto",
+    mesh=None,
 ) -> IcpResult:
     """Run one ICP alignment.  All arrays fixed-size with validity masks.
 
@@ -120,9 +121,11 @@ def icp(
 
     ``nn_impl`` selects the correspondence search: "xla" (blocked matmul
     argmin), "pruned" (the bbox-pruned Pallas kernel over spatially sorted
-    clouds — ~4x faster per pass at 49k points on v5e, exact), or "auto"
-    (pruned on TPU, xla elsewhere).  "pruned_interpret" runs the Pallas
-    kernel in interpreter mode for CPU testing.
+    clouds — ~4x faster per pass at 49k points on v5e, exact), "sharded"
+    (target cloud split over ``mesh``'s 'points' axis, all_gather reduce —
+    the §5.7 point-axis scaling path), or "auto" (pruned on TPU, xla
+    elsewhere).  "pruned_interpret" runs the Pallas kernel in interpreter
+    mode for CPU testing.
 
     All matrix products trace under full-f32 precision: the platform default
     (bf16-class) corrupts transforms by ~0.4% per iteration, which compounds
@@ -131,14 +134,14 @@ def icp(
     with jax.default_matmul_precision("highest"):
         return _icp_impl(
             src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg,
-            tgt_normals, normal_mask, nn_tile, nn_impl=nn_impl,
+            tgt_normals, normal_mask, nn_tile, nn_impl=nn_impl, mesh=mesh,
         )
 
 
 def _icp_impl(
     src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg: IcpConfig,
     tgt_normals, normal_mask, nn_tile: int, with_trace: bool = False,
-    nn_impl: str = "auto",
+    nn_impl: str = "auto", mesh=None,
 ):
     if nn_impl == "auto":
         nn_impl = "pruned" if jax.default_backend() == "tpu" else "xla"
@@ -176,6 +179,39 @@ def _icp_impl(
             return pallas_nn_1_pruned(
                 q, qm, tgt_xyz, tmask, max_distance=None, interpret=interp
             )
+    elif nn_impl == "sharded":
+        # point-axis scaling (SURVEY.md §5.7): the target cloud is split over
+        # the mesh's 'points' axis, each shard scans its slice, and the
+        # global best reduces via one small all_gather over ICI.  Winner
+        # choice is identical to the single-device argmin: the (shard, local
+        # index) order IS the global index order, so ties break the same way.
+        if mesh is None:
+            raise ValueError("nn_impl='sharded' needs a mesh with a 'points' axis")
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def _local(q, qm, t, tm):
+            idx, d2 = nn_1(q, qm, t, tm, tile=nn_tile)
+            shard = jax.lax.axis_index("points")
+            gidx = idx + shard * t.shape[0]
+            all_d2 = jax.lax.all_gather(d2, "points")  # (n_shards, Q)
+            all_idx = jax.lax.all_gather(gidx, "points")
+            best = jnp.argmin(all_d2, axis=0)
+            qi = jnp.arange(d2.shape[0])
+            return all_idx[best, qi], all_d2[best, qi]
+
+        _sharded_nn = shard_map(
+            _local,
+            mesh=mesh,
+            in_specs=(P(), P(), P("points"), P("points")),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+
+        def nn_corr(q, qm, tmask):
+            return _sharded_nn(q, qm, tgt_xyz, tmask)
+
+        nn_fit = nn_corr
     else:
 
         def nn_corr(q, qm, tmask):
@@ -266,11 +302,12 @@ def _icp_impl(
     return (result, trace) if with_trace else result
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "nn_tile", "nn_impl"))
+@functools.partial(jax.jit, static_argnames=("cfg", "nn_tile", "nn_impl", "mesh"))
 def icp_point_to_point(src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg: IcpConfig,
-                       nn_tile: int = 512, nn_impl: str = "auto") -> IcpResult:
+                       nn_tile: int = 512, nn_impl: str = "auto",
+                       mesh=None) -> IcpResult:
     return icp(src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg, nn_tile=nn_tile,
-               nn_impl=nn_impl)
+               nn_impl=nn_impl, mesh=mesh)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "nn_tile", "nn_impl"))

@@ -174,12 +174,12 @@ def _stage_voxel_full(cloud_1: Cloud, cloud_2: Cloud, leaf: float):
     return a, b, chk
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "bucket"))
+@functools.partial(jax.jit, static_argnames=("cfg", "bucket", "nn_impl", "mesh"))
 def _stage_fine(s_xyz, s_mask, t_xyz, t_mask, guess, cfg: RegistrationConfig,
-                bucket: int):
+                bucket: int, nn_impl: str = "auto", mesh=None):
     return icp_point_to_point(
         s_xyz[:bucket], s_mask[:bucket], t_xyz[:bucket], t_mask[:bucket],
-        guess, cfg.fine,
+        guess, cfg.fine, nn_impl=nn_impl, mesh=mesh,
     )
 
 
@@ -269,8 +269,13 @@ def register_pair(
     cfg: RegistrationConfig = RegistrationConfig(),
     flat_cap: int = 32768,
     timer: StageTimer | None = None,
+    point_mesh: "jax.sharding.Mesh | None" = None,
 ) -> tuple[object, object]:
     """Returns (best coarse IcpResult, fine IcpResult or None).
+
+    ``point_mesh`` (a mesh with a 'points' axis) shards the fine-stage
+    correspondence search over the target's point axis — SURVEY.md §5.7's
+    long-axis scaling, for clouds too big for one chip's NN pass.
 
     Stage timing matches the reference's split exactly
     (BatchTopPartRegistration.cpp:471-506): "coarse" covers flat prep +
@@ -298,8 +303,13 @@ def register_pair(
             jnp.stack([a[2].astype(jnp.float32), b[2].astype(jnp.float32), chk2])
         )
         fbucket = _fine_bucket(int(max(stats2[0], stats2[1])), cloud_1.capacity)
+        if point_mesh is not None:
+            n_pts = point_mesh.shape["points"]
+            fbucket = -(-fbucket // n_pts) * n_pts  # divisible shards
         fine = _stage_fine(
-            a[0], a[1], b[0], b[1], jnp.asarray(best.transform), cfg, fbucket
+            a[0], a[1], b[0], b[1], jnp.asarray(best.transform), cfg, fbucket,
+            nn_impl="auto" if point_mesh is None else "sharded",
+            mesh=point_mesh,
         )
         fine = jax.tree.map(np.asarray, jax.device_get(fine))
     return best, fine

@@ -160,3 +160,40 @@ def test_register_pairs_mesh_matches_unsharded():
         np.testing.assert_allclose(f0.transform, f1.transform, atol=1e-4)
         np.testing.assert_allclose(float(f0.fitness), float(f1.fitness),
                                    rtol=1e-3, atol=1e-8)
+
+
+def test_register_pair_point_sharded_fine():
+    """Fine-stage NN sharded over the 'points' axis == unsharded results
+    (SURVEY §5.7 long-axis scaling, reachable from the production path)."""
+    from pctpu.cloud import make_cloud
+    from pctpu.parallel.mesh import make_mesh
+    from pctpu.pipelines.registration import register_pair
+
+    rng = np.random.default_rng(8)
+    pts, labels = [], []
+    for _ in range(10):
+        cx, cy = rng.uniform(-30, 30, 2)
+        n = 60
+        pts.append(np.stack([cx + rng.normal(0, 2, n), cy + rng.normal(0, 2, n),
+                             rng.uniform(0, 8, n)], 1))
+        labels.append(np.full(n, -2))
+    ng = 1500
+    pts.append(np.stack([rng.uniform(-40, 40, ng), rng.uniform(-40, 40, ng),
+                         rng.uniform(-2.0, -1.9, ng)], 1))
+    labels.append(np.zeros(ng))
+    xyz = np.concatenate(pts).astype(np.float32)
+    lab = np.concatenate(labels).astype(np.int32)
+    th = np.radians(7.0)
+    rot = np.array([[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0],
+                    [0, 0, 1]], np.float32)
+    xyz2 = xyz @ rot.T + np.array([0.5, -0.4, 0], np.float32)
+    c1 = make_cloud(xyz, label=lab, capacity=4096)
+    c2 = make_cloud(xyz2, label=lab, capacity=4096)
+
+    b0, f0 = register_pair(c1, c2, 7.0, flat_cap=2048)
+    mesh = make_mesh(n_data=2, n_points=4)
+    b1, f1 = register_pair(c1, c2, 7.0, flat_cap=2048, point_mesh=mesh)
+    np.testing.assert_allclose(f0.transform, f1.transform, atol=1e-5)
+    np.testing.assert_allclose(float(f0.fitness), float(f1.fitness),
+                               rtol=1e-4, atol=1e-9)
+    assert bool(f0.converged) == bool(f1.converged)
