@@ -30,6 +30,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from pctpu.ops.eig2 import eig2_sym_values, eig2_sym_vector
+
 
 @functools.partial(jax.jit, static_argnames=("tile",))
 def normals_2d(
@@ -84,19 +86,8 @@ def normals_2d(
         syy = sums[:, 4] - cnt * my * my
 
         # closed-form symmetric 2×2 eigenpairs
-        tr = sxx + syy
-        det_h = jnp.sqrt(jnp.maximum((sxx - syy) ** 2 + 4.0 * sxy * sxy, 0.0))
-        lam_min = 0.5 * (tr - det_h)
-        lam_max = 0.5 * (tr + det_h)
-        # minor eigenvector: (S - λ_max I) v = 0 → v ⟂ major; pick the
-        # numerically better of the two row formulations
-        v1 = jnp.stack([sxy, lam_min - sxx], axis=1)
-        v2 = jnp.stack([lam_min - syy, sxy], axis=1)
-        use1 = jnp.abs(v1).sum(axis=1) >= jnp.abs(v2).sum(axis=1)
-        v = jnp.where(use1[:, None], v1, v2)
-        norm = jnp.linalg.norm(v, axis=1, keepdims=True)
-        # degenerate isotropic neighborhoods: fall back to +x normal
-        v = jnp.where(norm > 0, v / jnp.maximum(norm, 1e-30), jnp.array([1.0, 0.0]))
+        lam_max, lam_min = eig2_sym_values(sxx, sxy, syy)
+        v = eig2_sym_vector(sxx, sxy, syy, lam_min)  # minor eigvec = normal
         curv = lam_min / jnp.maximum(lam_max + lam_min, 1e-30)
 
         # 2-neighbor special case: perpendicular of (self − other)
@@ -145,9 +136,11 @@ def normals_2d_knn(
 
     Returns (normals (N,3) z=0, curvature (N,), valid (N,)); valid is False
     for padding and for neighborhoods of < 2 points (k < 2 or fewer valid
-    points than 2 in the cloud — NaN in the reference).
+    points than 2 in the cloud — NaN in the reference).  Like
+    nearestKSearch, k clamps to the cloud size when it exceeds it.
     """
     n = xyz.shape[0]
+    k = min(k, n)
     p2 = xyz[:, :2]
     vx, vy = viewpoint
     x = p2[:, 0]
@@ -183,16 +176,8 @@ def normals_2d_knn(
         sxy = sums[:, 3] - cnt * mx * my
         syy = sums[:, 4] - cnt * my * my
 
-        tr = sxx + syy
-        det_h = jnp.sqrt(jnp.maximum((sxx - syy) ** 2 + 4.0 * sxy * sxy, 0.0))
-        lam_min = 0.5 * (tr - det_h)
-        lam_max = 0.5 * (tr + det_h)
-        v1 = jnp.stack([sxy, lam_min - sxx], axis=1)
-        v2 = jnp.stack([lam_min - syy, sxy], axis=1)
-        use1 = jnp.abs(v1).sum(axis=1) >= jnp.abs(v2).sum(axis=1)
-        v = jnp.where(use1[:, None], v1, v2)
-        norm = jnp.linalg.norm(v, axis=1, keepdims=True)
-        v = jnp.where(norm > 0, v / jnp.maximum(norm, 1e-30), jnp.array([1.0, 0.0]))
+        lam_max, lam_min = eig2_sym_values(sxx, sxy, syy)
+        v = eig2_sym_vector(sxx, sxy, syy, lam_min)
         curv = lam_min / jnp.maximum(lam_max + lam_min, 1e-30)
 
         # 2-neighbor special case: nearestKSearch order is ascending, so

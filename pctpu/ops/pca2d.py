@@ -22,6 +22,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from pctpu.ops.eig2 import eig2_sym_values, eig2_sym_vector
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -43,20 +45,11 @@ def pca2d_fit(xyz: jnp.ndarray, mask: jnp.ndarray) -> Pca2dFit:
     sxx = jnp.sum(d[:, 0] * d[:, 0])
     sxy = jnp.sum(d[:, 0] * d[:, 1])
     syy = jnp.sum(d[:, 1] * d[:, 1])
-    tr = sxx + syy
-    det_h = jnp.sqrt(jnp.maximum((sxx - syy) ** 2 + 4.0 * sxy * sxy, 0.0))
-    lam_max = 0.5 * (tr + det_h)
-    lam_min = 0.5 * (tr - det_h)
-
-    # eigenvector of the LARGER eigenvalue (first column, descending order)
-    v1 = jnp.stack([sxy, lam_max - sxx])
-    v2 = jnp.stack([lam_max - syy, sxy])
-    use1 = jnp.abs(v1).sum() >= jnp.abs(v2).sum()
-    vmax = jnp.where(use1, v1, v2)
-    norm = jnp.linalg.norm(vmax)
-    vmax = jnp.where(norm > 0, vmax / jnp.maximum(norm, 1e-30),
-                     jnp.array([1.0, 0.0]))
-    vmin = jnp.stack([-vmax[1], vmax[0]])  # orthogonal complement
+    lam_max, lam_min = eig2_sym_values(sxx, sxy, syy)
+    # eigenvector of the LARGER eigenvalue (first column, descending order);
+    # the minor one is its orthogonal complement
+    vmax = eig2_sym_vector(sxx, sxy, syy, lam_max)
+    vmin = jnp.stack([-vmax[1], vmax[0]])
     return Pca2dFit(
         mean=mean,
         eigenvalues=jnp.stack([lam_max, lam_min]),

@@ -89,16 +89,18 @@ def _reorder_preordered(cloud: Cloud, params: SensorParams) -> Cloud:
     any_zero = jnp.any(zero_slot[1:])
     keep0 = ~any_zero
 
-    def zero_first(arr, keep_val):
-        return arr.at[0].multiply(keep_val.astype(arr.dtype))
+    def zero_first(arr):
+        # select, not multiply: ×0 would turn negatives into -0.0 and leave
+        # NaN/Inf in place, diverging byte-wise from the scatter path
+        return arr.at[0].set(jnp.where(keep0, arr[0], jnp.zeros_like(arr[0])))
 
     return Cloud(
-        xyz=cloud.xyz.at[0].multiply(keep0.astype(cloud.xyz.dtype)),
-        intensity=zero_first(cloud.intensity, keep0),
-        row=zero_first(cloud.row, keep0),
-        col=zero_first(cloud.col, keep0),
-        t=zero_first(cloud.t, keep0),
-        label=zero_first(cloud.label, keep0),
+        xyz=zero_first(cloud.xyz),
+        intensity=zero_first(cloud.intensity),
+        row=zero_first(cloud.row),
+        col=zero_first(cloud.col),
+        t=zero_first(cloud.t),
+        label=zero_first(cloud.label),
         count=jnp.asarray(params.grid_size, jnp.int32),
     )
 

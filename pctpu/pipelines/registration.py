@@ -69,21 +69,6 @@ class PairReport:
     transform_fine: np.ndarray
 
 
-def _prepare_flat_inline(cloud: Cloud, flat_cap: int, leaf: float, radius: float):
-    """top+flatten → voxel → 2-D normals, compacted into flat_cap slots."""
-    xyz, mask, _ = extract_top_and_flatten(cloud)
-    xyz = xyz[:flat_cap]
-    mask = mask[:flat_cap]
-    ds_xyz, ds_mask, _ = voxel_downsample(xyz, mask, leaf)
-    normals, _, normal_ok = normals_2d(ds_xyz, ds_mask, radius=radius)
-    return ds_xyz, ds_mask, normals, normal_ok
-
-
-_prepare_flat = jax.jit(
-    _prepare_flat_inline, static_argnames=("flat_cap", "leaf", "radius")
-)
-
-
 @functools.partial(jax.jit, static_argnames=("leaf",))
 def _voxel_full(cloud: Cloud, leaf: float):
     return voxel_downsample(cloud.xyz, cloud.valid_mask(), leaf)
@@ -305,6 +290,11 @@ def register_pair(
         fbucket = _fine_bucket(int(max(stats2[0], stats2[1])), cloud_1.capacity)
         if point_mesh is not None:
             n_pts = point_mesh.shape["points"]
+            if cloud_1.capacity % n_pts:
+                raise ValueError(
+                    f"point_mesh needs cloud capacity ({cloud_1.capacity}) to "
+                    f"be a multiple of the 'points' axis ({n_pts})"
+                )
             fbucket = -(-fbucket // n_pts) * n_pts  # divisible shards
         fine = _stage_fine(
             a[0], a[1], b[0], b[1], jnp.asarray(best.transform), cfg, fbucket,

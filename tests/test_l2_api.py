@@ -122,3 +122,16 @@ def test_pca2d_project_roundtrip():
 def test_pca2d_requires_cloud():
     with pytest.raises(RuntimeError):
         PCA2D().get_mean()
+
+
+def test_knn_k_exceeds_cloud_size():
+    """nearestKSearch clamps k to n (PCL behavior); must not crash."""
+    xyz = cloud(8, n=6)
+    mask = np.ones(len(xyz), bool)
+    nrm, _, ok = normals_2d_knn(xyz, mask, 50)
+    ref_n, ref_ok = ref_impl.normals2d_knn_ref(xyz, 50)
+    np.testing.assert_array_equal(np.asarray(ok), ref_ok)
+    ours = np.asarray(nrm)[:, :2]
+    for i in np.flatnonzero(ref_ok):
+        d = min(np.linalg.norm(ours[i] - ref_n[i]), np.linalg.norm(ours[i] + ref_n[i]))
+        assert d < 5e-3
