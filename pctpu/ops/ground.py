@@ -70,6 +70,36 @@ def _small_table_lookup(
     return jax.lax.map(one, tiles).reshape(-1)[:n]
 
 
+def _grid_table_lookup(
+    table2d: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray
+) -> jnp.ndarray:
+    """table2d[row, col] via *factorized* one-hot contractions on the MXU.
+
+    A flat one-hot against an (R·C)-entry table costs P·R·C elementwise
+    comparisons to build; factorizing into row/col one-hots costs P·(R+C) —
+    30× fewer for the 75×50 ground grid — followed by two small MXU
+    contractions: ``(P,R) @ (R,C) → (P,C)``, then a masked row-sum against
+    the col one-hot.  Exact: each one-hot row selects a single f32 value
+    (Precision.HIGHEST keeps the f32 copy path; no accumulation happens as
+    only one product per output is nonzero).
+    """
+    r, c = table2d.shape
+    oh_row = (row[:, None] == jnp.arange(r, dtype=row.dtype)[None, :]).astype(
+        jnp.float32
+    )
+    oh_col = (col[:, None] == jnp.arange(c, dtype=col.dtype)[None, :]).astype(
+        jnp.float32
+    )
+    per_col = jax.lax.dot_general(
+        oh_row,
+        table2d,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (P, C): value of table2d[row_p, :] per point
+    return jnp.sum(per_col * oh_col, axis=1)
+
+
 def _belonging_grid(x: jnp.ndarray, y: jnp.ndarray, cfg: GroundConfig):
     """Point → ground-grid sector (/root/reference/BatchMultiBevGen.h:73-99).
 
@@ -206,7 +236,7 @@ def mark_ground(
         jnp.minimum(padded[:-2, 1:-1], padded[2:, 1:-1]),
         jnp.minimum(padded[1:-1, :-2], padded[1:-1, 2:]),
     )
-    m_per_point = _small_table_lookup(nbr_min.reshape(-1), sector)
+    m_per_point = _grid_table_lookup(nbr_min, srow, scol)
     veto_sw = (z_sw - m_per_point) >= jnp.float32(cfg.rooftop_margin)
     veto = jnp.zeros((g,), bool).at[swept_slice].set(veto_sw)
     mark = jnp.where(veto.reshape(n, h), jnp.int8(0), mark)

@@ -302,6 +302,67 @@ def test_fused_bev_edge_values():
     assert int(np.asarray(fm).sum()) == 0 and int(np.asarray(fs).sum()) == 0
 
 
+def test_fused_bev_single_cell_run():
+    """Every point in ONE BEV cell: the longest possible same-cell run, so the
+    log-step segmented OR must propagate across all of its shift distances."""
+    from pctpu.ops.bev import fused_multi_single_bev
+
+    rng = np.random.default_rng(11)
+    n = SMALL.grid_size
+    pts = []
+    for i in range(n):
+        pts.append(
+            {
+                "x": 3.2, "y": 4.1,
+                "z": float(np.float32(rng.uniform(-1.5, 9.0))),
+                "intensity": 0.5,
+                "row": i // SMALL.horizon_scan,
+                "col": i % SMALL.horizon_scan,
+                "t": 0, "label": -2,
+            }
+        )
+    ordered = get_ordered_cloud(to_cloud(pts), SMALL)
+    fm, fs = fused_multi_single_bev(ordered, SMALL.height_res)
+    np.testing.assert_array_equal(
+        np.asarray(fm), np.asarray(multi_bev(ordered, SMALL.height_res))
+    )
+    np.testing.assert_array_equal(np.asarray(fs), np.asarray(single_bev(ordered)))
+    # the one occupied cell ORs several distinct layers together
+    assert (np.asarray(fm) > 0).sum() > 1
+
+
+def test_fused_bev_power_of_two_runs():
+    """Same-cell run lengths straddling the scan's shift boundaries
+    (1, 2, 3, 4, 7, 8, 9, 16, 31, 32, 33, ...)."""
+    from pctpu.ops.bev import fused_multi_single_bev
+
+    rng = np.random.default_rng(12)
+    lengths = [1, 2, 3, 4, 7, 8, 9, 15, 16, 17, 31, 32, 33, 64]
+    pts = []
+    slot = 0
+    for li, length in enumerate(lengths):
+        # one distinct BEV cell per run
+        x = float(np.float32(-40.0 + 6.0 * li))
+        for _ in range(length):
+            pts.append(
+                {
+                    "x": x, "y": 2.0,
+                    "z": float(np.float32(rng.uniform(-1.5, 9.0))),
+                    "intensity": 0.5,
+                    "row": slot // SMALL.horizon_scan,
+                    "col": slot % SMALL.horizon_scan,
+                    "t": 0, "label": -2,
+                }
+            )
+            slot += 1
+    ordered = get_ordered_cloud(to_cloud(pts), SMALL)
+    fm, fs = fused_multi_single_bev(ordered, SMALL.height_res)
+    np.testing.assert_array_equal(
+        np.asarray(fm), np.asarray(multi_bev(ordered, SMALL.height_res))
+    )
+    np.testing.assert_array_equal(np.asarray(fs), np.asarray(single_bev(ordered)))
+
+
 def test_preordered_fast_path_matches_general():
     """is_grid_ordered detection + the slot-0 fix-up fast path."""
     from pctpu.ops.ordering import is_grid_ordered
