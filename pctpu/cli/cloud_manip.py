@@ -1,5 +1,7 @@
 """CLI: cloud_manip — argv contract of /root/reference/CloudManip.cpp:111-161
-(``cloud_manip <pcd> tx ty tz yaw_deg``)."""
+(``cloud_manip <pcd> tx ty tz yaw_deg``).  ``--snapshot=out.png`` writes a
+headless render of the viewer scene (input red, output green,
+CloudManip.cpp:143-158); ``--snapshot-view=front`` for the elevation view."""
 
 import math
 import sys
@@ -20,6 +22,8 @@ def main(argv=None) -> int:
         float(pos[3]),
         float(pos[4]),
         output_dir=kw.get("output_dir", "."),
+        snapshot=kw.get("snapshot"),
+        snapshot_view=kw.get("snapshot_view", "top"),
     )
     return 0
 

@@ -1,6 +1,8 @@
 """CLI: pointcloud_pca_test — argv contract of /root/reference/main.cpp:50-57
-(``pointcloud_pca_test <pcd>``); prints eigenvalues/vectors instead of the
-interactive arrow viewer."""
+(``pointcloud_pca_test <pcd>``); prints eigenvalues/vectors.
+``--snapshot=out.png`` writes a headless render of the reference's arrow
+viewer (filtered cloud red on white, principal-axis arrows eigvec×200 from
+the centroid colored blue/green/red, /root/reference/main.cpp:100-135)."""
 
 import sys
 
@@ -12,7 +14,7 @@ from pctpu.ops.pca import pca_test
 
 
 def main(argv=None) -> int:
-    pos, _ = split_args(sys.argv[1:] if argv is None else argv)
+    pos, kw = split_args(sys.argv[1:] if argv is None else argv)
     if len(pos) < 1:
         usage_exit("Usage: pointcloud_pca_test <pcd>")
     cloud = load_cloud_pcd(pos[0])
@@ -20,6 +22,28 @@ def main(argv=None) -> int:
     print(f"cloud_in: {int(cloud.count)}, filter: {int(kept)}")
     print(np.asarray(vals))
     print(np.asarray(vecs))
+
+    if kw.get("snapshot"):
+        from pctpu.io.png import write_rgb_png
+        from pctpu.ops.pca import pca_test_filter
+        from pctpu.ops.render import Layer, render_snapshot, segment_points
+
+        xyz, keep = pca_test_filter(cloud)
+        c = np.asarray(mu)
+        v = np.asarray(vecs)  # eigenvectors ascending, columns like Eigen
+        tips = [c + 200.0 * v[:, i] for i in range(3)]
+        # arrow colors follow the reference: col0 blue, col1 green, col2 red
+        layers = [
+            Layer(np.asarray(xyz), (255, 0, 0), mask=np.asarray(keep)),
+            Layer(segment_points(c[None], tips[0][None]), (0, 0, 255)),
+            Layer(segment_points(c[None], tips[1][None]), (0, 255, 0)),
+            Layer(segment_points(c[None], tips[2][None]), (255, 0, 0)),
+        ]
+        img = render_snapshot(
+            layers, view=kw.get("snapshot_view", "top"),
+            background=(255, 255, 255),
+        )
+        write_rgb_png(kw["snapshot"], img)
     return 0
 
 

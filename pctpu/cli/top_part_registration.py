@@ -1,8 +1,10 @@
 """CLI: top_part_registration — single-pair two-stage registration.
 
 Mirrors /root/reference/TopPartRegistration.cpp:256-455 including the
-per-stage ``[TIME]`` reports (:318-326); the interactive viewer is omitted
-(headless)."""
+per-stage ``[TIME]`` reports (:318-326).  The interactive viewer (flat cloud
+red with every-10th-point normal whiskers of length 2 on black,
+TopPartRegistration.cpp:367-385) is replaced by an optional headless
+snapshot PNG of the same scene (``--snapshot=out.png``)."""
 
 import sys
 
@@ -38,6 +40,35 @@ def main(argv=None) -> int:
         f"is icp converged: {bool(fine.converged)}, fitness score: "
         f"{float(fine.fitness)}, trans: \n{np.asarray(fine.transform)}. "
     )
+
+    if kw.get("snapshot"):
+        from pctpu.config import RegistrationConfig
+        from pctpu.io.png import write_rgb_png
+        from pctpu.ops.normals2d import normals_2d
+        from pctpu.ops.render import Layer, render_snapshot, segment_points
+        from pctpu.ops.topflatten import extract_top_and_flatten
+        from pctpu.ops.voxel import voxel_downsample
+
+        cfg = RegistrationConfig()
+        fx, fm, _ = extract_top_and_flatten(c1)
+        vx, vm, _ = voxel_downsample(fx, fm, cfg.voxel_leaf)
+        nrm, _, n_ok = normals_2d(vx, vm, radius=cfg.normal_radius)
+        pts = np.asarray(vx)
+        ok = np.asarray(vm & n_ok)
+        normals = np.asarray(nrm)
+        every10 = ok & (np.arange(pts.shape[0]) % 10 == 0)
+        whiskers = segment_points(
+            pts[every10], pts[every10] + 2.0 * normals[every10]
+        )
+        img = render_snapshot(
+            [
+                Layer(pts, (255, 0, 0), mask=np.asarray(vm)),
+                Layer(whiskers, (255, 255, 255)),
+            ],
+            view=kw.get("snapshot_view", "top"),
+            background=(0, 0, 0),
+        )
+        write_rgb_png(kw["snapshot"], img)
     return 0
 
 

@@ -54,6 +54,52 @@ def write_gray_png(path: str, img: np.ndarray, compress_level: int = 6) -> None:
         f.write(encode_gray_png(img, compress_level))
 
 
+def encode_rgb_png(img: np.ndarray, compress_level: int = 6) -> bytes:
+    """Encode an (H, W, 3) uint8 array as a truecolor PNG (color type 2).
+
+    Used by the headless viewer snapshots (pctpu.ops.render) that replace the
+    reference's interactive PCLVisualizer sessions."""
+    img = np.ascontiguousarray(img)
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError(f"expected (H, W, 3) uint8, got {img.shape} {img.dtype}")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    raw = np.empty((h, 1 + w * 3), np.uint8)
+    raw[:, 0] = 0  # filter type 0 (None) per scanline
+    raw[:, 1:] = img.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), compress_level)
+    return _PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def write_rgb_png(path: str, img: np.ndarray, compress_level: int = 6) -> None:
+    with open(path, "wb") as f:
+        f.write(encode_rgb_png(img, compress_level))
+
+
+def decode_rgb_png(data: bytes) -> np.ndarray:
+    """Decode a truecolor PNG produced by :func:`encode_rgb_png`."""
+    if data[:8] != _PNG_SIGNATURE:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or color != 2:
+                raise ValueError("only 8-bit truecolor supported")
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, 1 + w * 3)
+    if np.any(raw[:, 0] != 0):
+        raise ValueError("only filter-0 scanlines supported")
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
 def decode_gray_png(data: bytes) -> np.ndarray:
     """Decode an 8-bit grayscale PNG produced by :func:`encode_gray_png`
     (filter-0 scanlines only; used by round-trip tests and golden checks)."""

@@ -3,8 +3,10 @@
 Reference: /root/reference/CloudManip.cpp:111-161.  Loads a pcd, applies a
 translation+yaw transform, writes input/output float BEVs (csv + png, no
 ground filtering — CloudManip.cpp:88) and both pcds.  The interactive PCL
-viewer is intentionally omitted (headless framework); everything else matches
-the reference byte formats.
+viewer (input red, output green, dark-gray background, CloudManip.cpp:143-158)
+is replaced by an optional headless snapshot PNG of the same scene
+(``snapshot=``/``--snapshot=``); everything else matches the reference byte
+formats.
 """
 
 from __future__ import annotations
@@ -29,6 +31,8 @@ def run_cloud_manip(
     tz: float,
     yaw_deg: float,
     output_dir: str = ".",
+    snapshot: str | None = None,
+    snapshot_view: str = "top",
 ) -> dict[str, np.ndarray]:
     """Returns {'input': bev, 'output': bev} float BEVs and writes all files.
 
@@ -53,4 +57,20 @@ def run_cloud_manip(
     write_gray_png(base + "_output.csv.png", bev_out)
     save_cloud_pcd(base + "_input.pcd", cloud)
     save_cloud_pcd(base + "_output.pcd", out_cloud)
+
+    if snapshot is not None:
+        from pctpu.io.png import write_rgb_png
+        from pctpu.ops.render import Layer, render_snapshot
+
+        img = render_snapshot(
+            [
+                Layer(np.asarray(cloud.xyz), (255, 0, 0),
+                      mask=np.asarray(cloud.valid_mask())),
+                Layer(np.asarray(out_cloud.xyz), (0, 255, 0),
+                      mask=np.asarray(out_cloud.valid_mask())),
+            ],
+            view=snapshot_view,
+            background=(13, 13, 13),  # the viewer's 0.05 gray
+        )
+        write_rgb_png(snapshot, img)
     return {"input": bev_in, "output": bev_out}
