@@ -95,7 +95,8 @@ def synth_batch(params, batch: int, n_points: int, seed: int, ordered: bool = Fa
     )
 
 
-def measure_tpu(ordered: bool = True) -> float:
+def measure_tpu(ordered: bool = True, sensor: str = "HDL_64E",
+                n_points: int | None = None) -> float:
     """Sustained on-device clouds/sec of the fused preprocess+BEV kernel.
 
     One dispatch runs ``K_STACK`` distinct batches × ``REPS`` perturbed
@@ -116,12 +117,14 @@ def measure_tpu(ordered: bool = True) -> float:
     from pctpu.config import get_sensor_params
     from pctpu.ops.preprocess import preprocess_batch
 
-    params = get_sensor_params("HDL_64E")
+    params = get_sensor_params(sensor)
+    if n_points is None:
+        n_points = min(N_POINTS, int(params.grid_size * 0.9))
     k_stack, reps = 16, 8  # higher rep counts can exceed tunnel deadlines
     stacked = jax.tree.map(
         lambda *xs: jnp.stack(xs),
         *[
-            synth_batch(params, BATCH, N_POINTS, seed, ordered=ordered)
+            synth_batch(params, BATCH, n_points, seed, ordered=ordered)
             for seed in range(k_stack)
         ],
     )
@@ -234,12 +237,16 @@ def main() -> int:
     tpu_cps = measure_tpu(ordered=True)
     if details:
         general_cps = measure_tpu(ordered=False)
+        hdl32_cps = measure_tpu(ordered=True, sensor="HDL_32E")
+        os1_cps = measure_tpu(ordered=True, sensor="OS1_64")
         pairs_per_sec = measure_registration()
         with open(os.path.join(REPO, "bench_details.json"), "w") as f:
             json.dump(
                 {
                     "hdl64e_multibev_clouds_per_sec": round(tpu_cps, 3),
                     "hdl64e_multibev_general_path_clouds_per_sec": round(general_cps, 3),
+                    "hdl32e_multibev_clouds_per_sec": round(hdl32_cps, 3),
+                    "os1_64_multibev_clouds_per_sec": round(os1_cps, 3),
                     "baseline_single_core_clouds_per_sec": round(baseline_cps, 3),
                     "baseline_ms_per_cloud": baseline_ms,
                     "registration_pairs_per_sec_65k": round(pairs_per_sec, 3),
