@@ -90,9 +90,9 @@ def test_fuzz_all_sensor_presets_one_seed():
     """The oracle sweep once per real sensor geometry (full grid sizes)."""
     from pctpu.config import get_sensor_params
 
-    for sensor in ("HDL_32E", "HDL_64E", "OS1_64"):
+    for i, sensor in enumerate(("HDL_32E", "HDL_64E", "OS1_64")):
         params = get_sensor_params(sensor)
-        rng = np.random.default_rng(hash(sensor) % 2**31)
+        rng = np.random.default_rng(7000 + i)  # deterministic repro
         pts = _regime_points(rng, 600, 0.15, -2.5, 4.0, 2.0, 90.0, params)
         ref_cloud, _ = ordered_ref_arrays(pts, params)
         ref_impl.mark_ground_ref(
