@@ -10,7 +10,7 @@ import numpy as np
 
 from pctpu.cli._common import split_args, usage_exit
 from pctpu.io.pcd import load_cloud_pcd
-from pctpu.ops.pca import pca_test
+from pctpu.ops.pca import pca3d, pca_test_filter
 
 
 def main(argv=None) -> int:
@@ -18,17 +18,18 @@ def main(argv=None) -> int:
     if len(pos) < 1:
         usage_exit("Usage: pointcloud_pca_test <pcd>")
     cloud = load_cloud_pcd(pos[0])
-    mu, vals, vecs, kept = pca_test(cloud)
-    print(f"cloud_in: {int(cloud.count)}, filter: {int(kept)}")
+    # one filter pass feeds both the PCA and the optional snapshot
+    xyz, keep = pca_test_filter(cloud)
+    mu, vals, vecs = pca3d(xyz, keep)
+    kept = int(np.asarray(keep).sum())
+    print(f"cloud_in: {int(cloud.count)}, filter: {kept}")
     print(np.asarray(vals))
     print(np.asarray(vecs))
 
     if kw.get("snapshot"):
         from pctpu.io.png import write_rgb_png
-        from pctpu.ops.pca import pca_test_filter
         from pctpu.ops.render import Layer, render_snapshot, segment_points
 
-        xyz, keep = pca_test_filter(cloud)
         c = np.asarray(mu)
         v = np.asarray(vecs)  # eigenvectors ascending, columns like Eigen
         tips = [c + 200.0 * v[:, i] for i in range(3)]

@@ -49,9 +49,13 @@ def main(argv=None) -> int:
         from pctpu.ops.topflatten import extract_top_and_flatten
         from pctpu.ops.voxel import voxel_downsample
 
+        # re-derives stage-1 prep for the render (debug path); truncation to
+        # flat_cap mirrors _stage_flat so the scene matches what the
+        # registration actually consumed
         cfg = RegistrationConfig()
+        cap = int(kw.get("flat_cap", "32768"))
         fx, fm, _ = extract_top_and_flatten(c1)
-        vx, vm, _ = voxel_downsample(fx, fm, cfg.voxel_leaf)
+        vx, vm, _ = voxel_downsample(fx[:cap], fm[:cap], cfg.voxel_leaf)
         nrm, _, n_ok = normals_2d(vx, vm, radius=cfg.normal_radius)
         pts = np.asarray(vx)
         ok = np.asarray(vm & n_ok)

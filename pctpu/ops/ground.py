@@ -41,35 +41,6 @@ from pctpu.cloud import Cloud
 from pctpu.config import GroundConfig, SensorParams
 
 
-def _small_table_lookup(
-    table: jnp.ndarray, idx: jnp.ndarray, chunk: int = 8192
-) -> jnp.ndarray:
-    """table[idx] for a small table, as chunked one-hot matmuls on the MXU.
-
-    Dynamic gathers cost ~1 ms per 133k indices on v5e; a one-hot contraction
-    against a ≤4k-entry table measures ~0.7 ms and keeps the MXU busy instead
-    of the scalar core.  Exact: one-hot rows select a single f32 value.
-    """
-    n = idx.shape[0]
-    nt = table.shape[0]
-    pad = (-n) % chunk
-    idx_p = jnp.pad(idx, (0, pad))
-    tiles = idx_p.reshape(-1, chunk)
-
-    def one(tile):
-        oh = (tile[:, None] == jnp.arange(nt, dtype=tile.dtype)[None, :]).astype(
-            jnp.float32
-        )
-        return jax.lax.dot_general(
-            oh,
-            table[:, None],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )[:, 0]
-
-    return jax.lax.map(one, tiles).reshape(-1)[:n]
-
-
 def _grid_table_lookup(
     table2d: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray
 ) -> jnp.ndarray:

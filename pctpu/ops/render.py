@@ -46,6 +46,13 @@ def _render_layer_image(
     s = img_size
     span = jnp.maximum(hi - lo, 1e-6)
     scale = (s - point_size) / span  # keep the splat fully inside
+    # cull points outside the extent (the viewer's frustum) instead of
+    # clamping them onto the border where they could occlude real points
+    inside = (
+        (uv[:, 0] >= lo[0]) & (uv[:, 0] <= hi[0])
+        & (uv[:, 1] >= lo[1]) & (uv[:, 1] <= hi[1])
+    )
+    mask = mask & inside
     px = jnp.floor((uv[:, 0] - lo[0]) * scale[0]).astype(jnp.int32)
     py = jnp.floor((uv[:, 1] - lo[1]) * scale[1]).astype(jnp.int32)
     px = jnp.clip(px, 0, s - point_size)
@@ -120,7 +127,7 @@ def render_snapshot(
     (u_min, u_max, v_min, v_max); by default it is fitted to the data with
     ``pad_frac`` padding (equal aspect).
     """
-    if not layers:
+    if not layers or sum(l.xyz.shape[0] for l in layers) == 0:
         return np.full((img_size, img_size, 3), background, np.uint8)
     xyz = np.concatenate([l.xyz for l in layers], axis=0)
     mask = np.concatenate([l.mask for l in layers], axis=0)

@@ -89,6 +89,24 @@ def test_render_masked_points_hidden():
                           [[7, 9, 11]])
 
 
+def test_render_all_layers_empty_returns_background():
+    img = render_snapshot(
+        [Layer(np.zeros((0, 3), np.float32), (255, 0, 0))],
+        img_size=16, background=(5, 6, 7),
+    )
+    assert np.array_equal(np.unique(img.reshape(-1, 3), axis=0), [[5, 6, 7]])
+
+
+def test_render_out_of_extent_points_culled():
+    # a far-away point must be culled, not clamped onto the border
+    inside = Layer(np.array([[4.9, 0.0, 0.0]]), (0, 255, 0))
+    outside = Layer(np.array([[100.0, 100.0, 50.0]]), (255, 0, 0))
+    img = render_snapshot([inside, outside], img_size=32,
+                          extent=(-5, 5, -5, 5), background=(0, 0, 0))
+    assert not (img[:, :, 0] > 0).any()  # red never drawn
+    assert (img[:, :, 1] > 0).any()
+
+
 def test_segment_points_endpoints_and_density():
     pts = segment_points(np.array([[0.0, 0.0, 0.0]]),
                          np.array([[10.0, 0.0, 0.0]]))
