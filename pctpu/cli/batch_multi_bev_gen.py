@@ -21,6 +21,9 @@ This binary generates ground-removed point clouds, single & multi layer BEV
 images and creates geometric distance-based labels for each point cloud.
 
 Extensions: --resume  --batch-size=N  --no-pngs  --devices=N (data-parallel mesh)
+            --num-processes=N --process-id=K --coordinator=host:port (multi-host:
+            each host preprocesses a strided slice of the clouds; host 0 also
+            writes keyframe_label.csv)
 """
 
 
@@ -28,6 +31,12 @@ def main(argv=None) -> int:
     pos, kw = split_args(sys.argv[1:] if argv is None else argv)
     if len(pos) < 2:
         usage_exit(USAGE)
+    nproc = int(kw["num_processes"]) if "num_processes" in kw else None
+    pid = int(kw["process_id"]) if "process_id" in kw else None
+    if nproc is not None and nproc > 1 and "coordinator" in kw:
+        from pctpu.parallel.distributed import initialize
+
+        initialize(kw["coordinator"], nproc, pid)
     run_multi_bev(
         pos[0],
         pos[1],
@@ -35,6 +44,8 @@ def main(argv=None) -> int:
         resume=kw.get("resume", "false") == "true",
         write_pngs=kw.get("no_pngs", "false") != "true",
         devices=int(kw["devices"]) if "devices" in kw else None,
+        process_id=pid,
+        num_processes=nproc,
     )
     return 0
 

@@ -15,6 +15,12 @@ def main(argv=None) -> int:
             "Usage: batch_top_part_registration <match_result.txt> <point_cloud_dir>"
         )
     capacity = kw.get("capacity")
+    nproc = int(kw["num_processes"]) if "num_processes" in kw else None
+    pid = int(kw["process_id"]) if "process_id" in kw else None
+    if nproc is not None and nproc > 1 and "coordinator" in kw:
+        from pctpu.parallel.distributed import initialize
+
+        initialize(kw["coordinator"], nproc, pid)
     run_batch_top_part_registration(
         pos[0],
         pos[1],
@@ -23,6 +29,8 @@ def main(argv=None) -> int:
         capacity=int(capacity) if capacity else None,
         pair_batch=int(kw.get("pair_batch", "1")),
         devices=int(kw["devices"]) if "devices" in kw else None,
+        process_id=pid,
+        num_processes=nproc,
     )
     return 0
 

@@ -122,6 +122,8 @@ def run_multi_bev(
     write_pngs: bool = True,
     mesh: "jax.sharding.Mesh | None" = None,
     devices: int | None = None,
+    process_id: int | None = None,
+    num_processes: int | None = None,
 ) -> MultiBevOutputs:
     """Run the full batch_multi_bev_gen pipeline over a keyframe tree.
 
@@ -129,9 +131,22 @@ def run_multi_bev(
     data-parallel device mesh — the per-cloud kernel is embarrassingly
     parallel, so GSPMD partitions it with zero cross-chip collectives and
     throughput scales with chip count (SURVEY.md §5.8).  Outputs are
-    byte-identical to the single-device run."""
+    byte-identical to the single-device run.
+
+    ``process_id``/``num_processes`` additionally shard the *file list*
+    across hosts (multi-host scaling, pctpu.parallel.distributed): each host
+    preprocesses a strided slice of the clouds; the global label phase and
+    output-directory reset run on host 0 only.  Defaults follow
+    ``jax.process_index()/count()`` (single-process runs are unchanged); the
+    CLI's ``--num_processes``/``--process_id`` flags map here.  On a shared
+    filesystem without ``resume``, start host 0 first (it wipes the output
+    dirs like the reference's rm -rf) or pass ``--resume`` everywhere."""
     root = keyframes_root_dir.rstrip("/") + "/"
     params = sensor if isinstance(sensor, SensorParams) else get_sensor_params(sensor)
+    from pctpu.parallel.distributed import process_shard
+
+    pid = jax.process_index() if process_id is None else process_id
+    nproc = jax.process_count() if num_processes is None else num_processes
     if mesh is None and devices is not None and devices > 1:
         from pctpu.parallel.mesh import make_mesh
 
@@ -158,10 +173,12 @@ def run_multi_bev(
     single_img_dir = root + "output_single_bev/image/"
     label_file = root + "keyframe_label.csv"
 
+    # only host 0 may wipe shared output dirs; other hosts must not delete
+    # their peers' work (per-file outputs are disjoint, so keep-and-create)
     for d in (non_ground_dir, bin_dir, img_dir, single_csv_dir, single_img_dir):
-        _reset_dir(d, resume)
+        _reset_dir(d, resume or pid != 0)
 
-    files = list_pcd_files(in_dir)
+    files = process_shard(list_pcd_files(in_dir), pid, nproc)
     if resume:
         files = [
             f for f in files
@@ -234,6 +251,11 @@ def run_multi_bev(
     log.info(f"[TIME] Average preprocessing and BEV generation: {avg}")
 
     # Step 2: major frames + labels (/root/reference/BatchMultiBevGen.cpp:761-765)
+    # — a global computation over ALL keyframe poses; host 0 only
+    if pid != 0:
+        return MultiBevOutputs(
+            num_clouds=done, num_major_frames=0, avg_ms_per_cloud=avg
+        )
     poses = read_keyframe_poses(pose_file)
     log.info(f"Finish reading all keyframe pose, total {len(poses)} entries. ")
     positions = np.array([[p.x, p.y, p.z] for _, p in poses], np.float32).reshape(-1, 3)

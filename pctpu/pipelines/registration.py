@@ -329,6 +329,8 @@ def run_batch_top_part_registration(
     flat_cap: int = 32768,
     pair_batch: int = 1,
     devices: int | None = None,
+    process_id: int | None = None,
+    num_processes: int | None = None,
 ) -> list[PairReport]:
     """The batch evaluator.  Returns per-pair reports; writes the precision
     report and prints the reference-style summary.
@@ -336,8 +338,20 @@ def run_batch_top_part_registration(
     ``pair_batch > 1`` runs that many pairs as one vmapped device dispatch
     (requires an explicit ``capacity`` so all clouds share one shape);
     ``devices=N`` additionally shards the pair axis over an N-way
-    data-parallel mesh (pair_batch must be a multiple of N)."""
+    data-parallel mesh (pair_batch must be a multiple of N).
+
+    ``process_id``/``num_processes`` shard the match list across hosts
+    (pctpu.parallel.distributed); each host writes
+    ``<report_path>.shard<pid>`` and prints its own summary (the reference's
+    single-process report contract is preserved for single-host runs)."""
     matches = load_match_results(match_results_filename)
+    from pctpu.parallel.distributed import process_shard
+
+    pid = jax.process_index() if process_id is None else process_id
+    nproc = jax.process_count() if num_processes is None else num_processes
+    if nproc > 1:
+        matches = process_shard(matches, pid, nproc)
+        report_path = f"{report_path}.shard{pid}"
     mesh = None
     if devices is not None and devices > 1:
         from pctpu.parallel.mesh import make_mesh
