@@ -13,10 +13,20 @@ def main(argv=None) -> int:
         usage_exit(
             "Usage: batch_whole_registration <match_result.txt> <point_cloud_dir>"
         )
+    nproc = int(kw["num_processes"]) if "num_processes" in kw else None
+    pid = int(kw["process_id"]) if "process_id" in kw else None
+    if nproc is not None and nproc > 1 and "coordinator" in kw:
+        from pctpu.parallel.distributed import initialize
+
+        initialize(kw["coordinator"], nproc, pid)
+    capacity = kw.get("capacity")
     run_batch_whole_registration(
         pos[0],
         pos[1],
         report_path=kw.get("report", "./icp_precision_report_3d_icp_directly.txt"),
+        capacity=int(capacity) if capacity else None,
+        process_id=pid,
+        num_processes=nproc,
     )
     return 0
 

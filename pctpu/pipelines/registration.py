@@ -466,16 +466,28 @@ def run_batch_whole_registration(
     cfg: RegistrationConfig | None = None,
     report_path: str = "./icp_precision_report_3d_icp_directly.txt",
     capacity: int | None = None,
+    process_id: int | None = None,
+    num_processes: int | None = None,
 ) -> tuple[int, int]:
     """Ablation: direct 3-D ICP from the yaw guess on whole downsampled
     clouds (/root/reference/BatchWholeRegistration.cpp:311-418).  The report
     file is created but — like the reference — never written to; only the
-    success/failure counts are reported.  Returns (success, failure)."""
+    success/failure counts are reported.  Returns (success, failure).
+
+    ``process_id``/``num_processes`` shard the match list across hosts like
+    ``run_batch_top_part_registration`` (empty report per shard)."""
     from pctpu.config import WHOLE_ICP
 
     if cfg is None:
         cfg = RegistrationConfig(fine=WHOLE_ICP)
     matches = load_match_results(match_results_filename)
+    from pctpu.parallel.distributed import process_shard
+
+    pid = jax.process_index() if process_id is None else process_id
+    nproc = jax.process_count() if num_processes is None else num_processes
+    if nproc > 1:
+        matches = process_shard(matches, pid, nproc)
+        report_path = f"{report_path}.shard{pid}"
     timer = StageTimer()
     count_success = 0
     count_failure = 0

@@ -147,3 +147,34 @@ def test_batch_registration_two_host_emulation(tmp_path):
         m = merged[(r.query_idx, r.match_idx)]
         np.testing.assert_array_equal(m.transform_fine, r.transform_fine)
         assert m.success == r.success
+
+
+def test_batch_whole_registration_sharded_counts(tmp_path):
+    from tests.test_registration_e2e import rigid, synth_scene
+
+    from pctpu.cloud import make_cloud
+    from pctpu.io.pcd import save_cloud_pcd
+    from pctpu.pipelines.registration import run_batch_whole_registration
+
+    rng = np.random.default_rng(3)
+    xyz, labels = synth_scene(rng)
+    cloud_dir = tmp_path / "clouds"
+    cloud_dir.mkdir()
+    save_cloud_pcd(str(cloud_dir / "000000.pcd"),
+                   make_cloud(xyz, label=labels, capacity=4096))
+    save_cloud_pcd(str(cloud_dir / "000001.pcd"),
+                   make_cloud(rigid(xyz, 5.0, [0.5, 0.0, 0.0]), label=labels,
+                              capacity=4096))
+    match_file = tmp_path / "match_result.txt"
+    match_file.write_text("0 1 5.0\n1 0 -5.0\n")
+    s0, f0 = run_batch_whole_registration(
+        str(match_file), str(cloud_dir), capacity=4096,
+        report_path=str(tmp_path / "w.txt"), process_id=0, num_processes=2,
+    )
+    s1, f1 = run_batch_whole_registration(
+        str(match_file), str(cloud_dir), capacity=4096,
+        report_path=str(tmp_path / "w.txt"), process_id=1, num_processes=2,
+    )
+    assert s0 + f0 == 1 and s1 + f1 == 1
+    assert os.path.exists(tmp_path / "w.txt.shard0")
+    assert os.path.exists(tmp_path / "w.txt.shard1")
