@@ -105,6 +105,31 @@ int pctpu_write_multi_bev(const uint8_t* multi, int layers, int h, int w,
   return 0;
 }
 
+// OpenCV FMT_CSV float matrix formatting: "%.<precision>g" per value,
+// ", " separators, "\n" per row (no trailing newline for single-row mats —
+// cv::Formatter semantics, see pctpu/io/csvfmt.py).  printf's %g is exactly
+// what libopencv_core used, so this IS the reference byte format.  Returns
+// bytes written, or -1 when out_cap would overflow.
+long pctpu_format_csv_f32(const float* data, int h, int w, int precision,
+                          char* out, long out_cap) {
+  char fmt[16];
+  std::snprintf(fmt, sizeof(fmt), "%%.%dg", precision);
+  long o = 0;
+  for (int r = 0; r < h; ++r) {
+    for (int c = 0; c < w; ++c) {
+      if (o + 32 > out_cap) return -1;
+      o += std::snprintf(out + o, out_cap - o, fmt,
+                         static_cast<double>(data[static_cast<long>(r) * w + c]));
+      if (c + 1 < w) {
+        out[o++] = ',';
+        out[o++] = ' ';
+      }
+    }
+    if (h > 1) out[o++] = '\n';
+  }
+  return o;
+}
+
 // liblzf decompression (the PCD binary_compressed codec).  Returns the
 // number of bytes written to out, or -1 on a corrupt stream / overflow.
 long pctpu_lzf_decompress(const uint8_t* in, long in_len,

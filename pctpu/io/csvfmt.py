@@ -28,18 +28,59 @@ def _value_formatter(dtype: np.dtype, float_precision: int):
     raise TypeError(f"unsupported dtype for FMT_CSV: {dtype}")
 
 
-def format_csv(mat: np.ndarray, float_precision: int = 4) -> str:
-    """Render a 2-D matrix exactly like OpenCV FMT_CSV."""
+_U8_LUT = None
+
+
+def _format_u8_fast(mat: np.ndarray) -> bytes:
+    """Vectorized "%3d" path for uint8 matrices (the flagship single-BEV CSV
+    is 224² uint8 per cloud — the generator formatter costs ~15 ms/cloud of
+    host CPU, this numpy assembly ~0.7 ms, byte-identical)."""
+    global _U8_LUT
+    if _U8_LUT is None:
+        _U8_LUT = np.array([("%3d" % i).encode() for i in range(256)], "S3")
+    h, w = mat.shape
+    cells = _U8_LUT[mat].view("S1").reshape(h, w, 3)
+    buf = np.empty((h, w, 5), "S1")
+    buf[:, :, :3] = cells
+    buf[:, :, 3] = b","
+    buf[:, :, 4] = b" "
+    rows = np.empty((h, w * 5 - 1), "S1")
+    rows[:, :-1] = buf.reshape(h, w * 5)[:, :-2]  # drop the trailing ", "
+    rows[:, -1] = b"\n"
+    out = rows.tobytes()
+    return out[:-1] if h == 1 else out
+
+
+def format_csv_bytes(mat: np.ndarray, float_precision: int = 4) -> bytes:
+    """Render a 2-D matrix exactly like OpenCV FMT_CSV (bytes).
+
+    uint8 goes through a numpy lookup-table assembly and float32 through the
+    native snprintf formatter when available (printf %g is literally what
+    libopencv used); both are byte-identical to the generic Python path
+    (tests/test_csvfmt.py differential + fuzz)."""
     mat = np.asarray(mat)
     if mat.ndim != 2:
         raise ValueError(f"expected a 2-D matrix, got shape {mat.shape}")
+    if mat.dtype == np.uint8 and mat.size:
+        return _format_u8_fast(mat)
+    if mat.dtype == np.float32 and mat.size:
+        from pctpu.runtime.native_io import format_csv_f32
+
+        out = format_csv_f32(mat, float_precision)
+        if out is not None:
+            return out
     value = _value_formatter(mat.dtype, float_precision)
     rows = (", ".join(value(v) for v in row) for row in mat)
     if mat.shape[0] == 1:
-        return next(rows)
-    return "".join(r + "\n" for r in rows)
+        return next(rows).encode()
+    return "".join(r + "\n" for r in rows).encode()
+
+
+def format_csv(mat: np.ndarray, float_precision: int = 4) -> str:
+    """Render a 2-D matrix exactly like OpenCV FMT_CSV."""
+    return format_csv_bytes(mat, float_precision).decode()
 
 
 def write_csv(path: str, mat: np.ndarray, float_precision: int = 4) -> None:
-    with open(path, "w") as f:
-        f.write(format_csv(mat, float_precision))
+    with open(path, "wb") as f:
+        f.write(format_csv_bytes(mat, float_precision))

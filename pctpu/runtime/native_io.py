@@ -54,6 +54,11 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
             ]
             lib.pctpu_lzf_decompress.restype = ctypes.c_long
+            lib.pctpu_format_csv_f32.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_long,
+            ]
+            lib.pctpu_format_csv_f32.restype = ctypes.c_long
             _lib = lib
         except Exception:
             _lib = None
@@ -113,6 +118,26 @@ def write_multi_bev(
             write_gray_png(
                 os.path.join(img_dir, f"{layer:02d}.png"), multi[layer], level
             )
+
+
+def format_csv_f32(mat: np.ndarray, precision: int) -> bytes | None:
+    """Native OpenCV-FMT_CSV float formatting ("%.<p>g", ", ", row "\\n").
+    Returns None when the library is unavailable (caller falls back to the
+    byte-identical Python formatter)."""
+    lib = _load()
+    if lib is None:
+        return None
+    mat = np.ascontiguousarray(mat, np.float32)
+    h, w = mat.shape
+    # worst case per value: sign + 8 significant + dot + e+XX + sep ≈ 24
+    cap = h * w * (precision + 20) + h + 16
+    out = np.empty(cap, np.uint8)
+    n = lib.pctpu_format_csv_f32(
+        mat.ctypes.data, h, w, precision, out.ctypes.data, cap
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
 
 
 def lzf_decompress(data: bytes, expected_size: int) -> bytes | None:
