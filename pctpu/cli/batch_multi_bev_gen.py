@@ -24,6 +24,8 @@ Extensions: --resume  --batch-size=N  --no-pngs  --devices=N (data-parallel mesh
             --num-processes=N --process-id=K --coordinator=host:port (multi-host:
             each host preprocesses a strided slice of the clouds; host 0 also
             writes keyframe_label.csv)
+            --profile=DIR (capture a jax.profiler trace of the run for
+            TensorBoard / xprof timeline inspection)
 """
 
 
@@ -37,16 +39,20 @@ def main(argv=None) -> int:
         from pctpu.parallel.distributed import initialize
 
         initialize(kw["coordinator"], nproc, pid)
-    run_multi_bev(
-        pos[0],
-        pos[1],
-        batch_size=int(kw.get("batch_size", "8")),
-        resume=kw.get("resume", "false") == "true",
-        write_pngs=kw.get("no_pngs", "false") != "true",
-        devices=int(kw["devices"]) if "devices" in kw else None,
-        process_id=pid,
-        num_processes=nproc,
-    )
+    from pctpu.runtime.profiler import trace
+
+    with trace("batch_multi_bev_gen", enabled="profile" in kw,
+               trace_dir=kw.get("profile", "/tmp/pctpu-trace")):
+        run_multi_bev(
+            pos[0],
+            pos[1],
+            batch_size=int(kw.get("batch_size", "8")),
+            resume=kw.get("resume", "false") == "true",
+            write_pngs=kw.get("no_pngs", "false") != "true",
+            devices=int(kw["devices"]) if "devices" in kw else None,
+            process_id=pid,
+            num_processes=nproc,
+        )
     return 0
 
 
