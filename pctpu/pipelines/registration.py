@@ -87,10 +87,24 @@ def _coarse_two_guesses(src, src_mask, tgt, tgt_mask, tgt_normals, normal_ok,
     return jax.vmap(run)(guesses)
 
 
-def _guess_pair(angle_guess_deg: float) -> jnp.ndarray:
+def _guess_pair_np(angle_guess_deg: float) -> np.ndarray:
     g1 = yaw_rotation_4x4(angle_guess_deg / 180.0 * math.pi).astype(np.float32)
     g2 = yaw_rotation_4x4((angle_guess_deg + 180.0) / 180.0 * math.pi).astype(np.float32)
-    return jnp.stack([jnp.asarray(g1), jnp.asarray(g2)])
+    return np.stack([g1, g2])
+
+
+def _guess_pair(angle_guess_deg: float) -> jnp.ndarray:
+    return jnp.asarray(_guess_pair_np(angle_guess_deg))
+
+
+@jax.jit
+def _stack_pairs(cs: list):
+    """Stack a list of same-shape Clouds into one batched Cloud in ONE device
+    dispatch.  The naive ``jax.tree.map(jnp.stack, *cs)`` issues one dispatch
+    per field per cloud (~46 for a 16-pair batch), and each dispatch costs
+    ~10 ms over a tunneled runtime — measured 522 ms of a 949 ms batch; the
+    fused version collapses that to one program."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *cs)
 
 
 # --- adaptive capacity buckets ---------------------------------------------
@@ -184,9 +198,9 @@ def register_pairs(
     (len(pairs) must be a multiple of it) — pure data parallelism, results
     identical to the unsharded run."""
     timer = timer or StageTimer()
-    c1 = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[0] for p in pairs])
-    c2 = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[1] for p in pairs])
-    guesses = jnp.stack([_guess_pair(p[2]) for p in pairs])
+    c1 = _stack_pairs([p[0] for p in pairs])
+    c2 = _stack_pairs([p[1] for p in pairs])
+    guesses = jnp.asarray(np.stack([_guess_pair_np(p[2]) for p in pairs]))
     n = len(pairs)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
