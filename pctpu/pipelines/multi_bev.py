@@ -215,9 +215,12 @@ def run_multi_bev(
                         dev_arrays, params, ground_cfg, multi_cfg, single_cfg,
                         assume_ordered=ordered,
                     )
-                    packed_h = np.asarray(packed)
-                    single_h = np.asarray(single)
-                    wire_h = jax.device_get(wire)
+                    # one device_get for the whole batch result: the leaf
+                    # transfers issue together and overlap instead of paying
+                    # a serial roundtrip each
+                    packed_h, single_h, wire_h = jax.device_get(
+                        (packed, single, wire)
+                    )
                     s = single_h.shape[-1]
                     multi_h = np.unpackbits(
                         packed_h.reshape(packed_h.shape[0], -1), axis=1,
