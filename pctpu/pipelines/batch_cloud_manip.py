@@ -37,7 +37,22 @@ HDL64E = SensorParams(n_scan=64, horizon_scan=2083, ground_upper_scan=50, height
 
 
 @functools.partial(jax.jit, static_argnames=("params", "ground_cfg", "bev_cfg"))
-def _process_batch(clouds: Cloud, params, ground_cfg, bev_cfg):
+def _process_batch(arrays: dict, params, ground_cfg, bev_cfg):
+    """Takes the loader's narrow-width SoA dict and widens on device — one
+    dispatch for the whole batch (eager per-field asarray/astype calls cost
+    ~10 ms dispatch overhead each on a tunneled runtime)."""
+    import jax.numpy as jnp
+
+    clouds = Cloud(
+        xyz=arrays["xyz"],
+        intensity=arrays["intensity"],
+        row=arrays["row"].astype(jnp.int32),
+        col=arrays["col"].astype(jnp.int32),
+        t=arrays["t"],
+        label=arrays["label"].astype(jnp.int32),
+        count=arrays["count"],
+    )
+
     def one(c):
         ordered = get_ordered_cloud(c, params)
         labeled, _ = mark_ground(ordered, params, ground_cfg)
@@ -77,19 +92,8 @@ def run_batch_cloud_manip(
         for names, payloads in loader:
             arrays = stack_batch(payloads)
             with timer.stage("bev", items=sum(1 for n in names if n)):
-                # loader ships narrow on-disk widths; widen on device
-                batch = Cloud(
-                    xyz=jax.numpy.asarray(arrays["xyz"]),
-                    intensity=jax.numpy.asarray(arrays["intensity"]),
-                    row=jax.numpy.asarray(arrays["row"]).astype(jax.numpy.int32),
-                    col=jax.numpy.asarray(arrays["col"]).astype(jax.numpy.int32),
-                    t=jax.numpy.asarray(arrays["t"]),
-                    label=jax.numpy.asarray(arrays["label"]).astype(jax.numpy.int32),
-                    count=jax.numpy.asarray(arrays["count"]),
-                )
-                labeled, bevs = _process_batch(batch, params, ground_cfg, bev_cfg)
-                bevs_h = np.asarray(bevs)
-                labeled_h = jax.device_get(labeled)
+                labeled, bevs = _process_batch(arrays, params, ground_cfg, bev_cfg)
+                labeled_h, bevs_h = jax.device_get((labeled, bevs))
                 for bi, name in enumerate(names):
                     if name is None:
                         continue
