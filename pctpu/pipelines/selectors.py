@@ -13,6 +13,7 @@ Output contract (identical for all three): ``selected_keyframes_X.XXm/`` with
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 
@@ -74,7 +75,9 @@ def run_kitti_select(
     keep = greedy_keyframe_mask(positions, interval)
     keyframe_idx = 0
     last = np.array([-1e10, -1e10, 0.0], np.float32)
-    with open(out_root + "keyframe_pose.csv", "w") as f_poses:
+    from pctpu.runtime.writer import AsyncWriter
+
+    with open(out_root + "keyframe_pose.csv", "w") as f_poses, AsyncWriter() as writer:
         for cloud_idx in range(len(stamps)):
             t = lidar_poses[cloud_idx]
             pos = t[:3, 3].astype(np.float32)
@@ -97,7 +100,12 @@ def run_kitti_select(
             )
             points = kitti.read_bin(f"{root}velodyne/{cloud_idx:06d}.bin")
             fields = kitti.structure_cloud(points)
-            write_pcd(f"{cloud_dir}{keyframe_idx:06d}.pcd", fields)
+            # the packed-pcd encode + disk write overlaps the next bin read
+            writer.submit(
+                functools.partial(
+                    write_pcd, f"{cloud_dir}{keyframe_idx:06d}.pcd", fields
+                )
+            )
             f_poses.write(format_pose_entry(cloud_idx, pose))
             keyframe_idx += 1
             last = pos
@@ -153,7 +161,9 @@ def _run_interpolating_select(
 
     keyframe_idx = 0
     last = np.zeros(3, np.float32)
-    with open(out_root + "keyframe_pose.csv", "w") as f_poses:
+    from pctpu.runtime.writer import AsyncWriter
+
+    with open(out_root + "keyframe_pose.csv", "w") as f_poses, AsyncWriter() as writer:
         for ci, (cloud_idx, stamp, pose) in enumerate(candidates):
             if not keep[ci]:
                 continue
@@ -163,7 +173,12 @@ def _run_interpolating_select(
             )
             fields = extract_fn(bin_name_fn(stamp))
             if fields is not None:
-                write_pcd(f"{cloud_dir}{keyframe_idx:06d}.pcd", fields)
+                # packed-pcd encode + write overlaps the next bin read
+                writer.submit(
+                    functools.partial(
+                        write_pcd, f"{cloud_dir}{keyframe_idx:06d}.pcd", fields
+                    )
+                )
             f_poses.write(format_pose_entry(cloud_idx, pose))
             keyframe_idx += 1
             last = pos
