@@ -132,8 +132,12 @@ def measure_tpu(ordered: bool = True, sensor: str = "HDL_64E",
     @jax.jit
     def run(batches, offset):
         def one(batch, rep):
-            # perturb so no two executions see identical values
-            b = batch.replace(xyz=batch.xyz + jnp.float32(1e-6) * (rep + offset))
+            # perturb so no two executions see identical values —
+            # multiplicatively, so empty grid slots stay bit-zero and the
+            # ordered clouds keep satisfying the assume_ordered precondition
+            b = batch.replace(
+                xyz=batch.xyz * (1.0 + jnp.float32(1e-7) * (rep + offset))
+            )
             labeled, multi, single = preprocess_batch(
                 b, params, assume_ordered=ordered
             )

@@ -106,7 +106,14 @@ def normals_2d(
         count_i = jnp.sum(nbr, axis=1)
         normal = jnp.where((count_i == 2)[:, None], pair_normal, v)
         curv = jnp.where(count_i == 2, 0.0, curv)
-        ok = qm & (count_i >= 2)
+        # coincident 2-point neighborhoods: the reference divides by norm=0
+        # and emits a NaN normal (Normal2dEstimation.cpp:236-241); pctpu's
+        # documented NaN-normal policy is exclusion, so mark them invalid.
+        # Coincidence tests exact COORDINATE equality (not seg_n == 0): it
+        # is then invariant to which of several distance-tied neighbors the
+        # argmin picked, so plain and GSPMD-sharded compilations agree.
+        coincident = jnp.all(p2[other_idx] == qt, axis=1)
+        ok = qm & (count_i >= 2) & ~((count_i == 2) & coincident)
 
         # flip toward viewpoint (origin by default)
         vp = jnp.stack([vx - qt[:, 0], vy - qt[:, 1]], axis=1)
@@ -189,7 +196,10 @@ def normals_2d_knn(
 
         normal = jnp.where((count_i == 2)[:, None], pair_normal, v)
         curv = jnp.where(count_i == 2, 0.0, curv)
-        ok = qm & (count_i >= 2)
+        # coincident duplicate pair → NaN in the reference → excluded here
+        # (same policy and same exact-coordinate test as the radius path)
+        coincident = jnp.all(p2[idx[:, 1]] == qt, axis=1)
+        ok = qm & (count_i >= 2) & ~((count_i == 2) & coincident)
 
         vp = jnp.stack([vx - qt[:, 0], vy - qt[:, 1]], axis=1)
         cos_t = jnp.sum(vp * normal, axis=1)

@@ -23,29 +23,30 @@ from pctpu.cloud import Cloud
 from pctpu.config import SensorParams
 
 
-def is_grid_ordered(cloud: Cloud, params: SensorParams) -> bool:
-    """Host-side check: is this cloud already in dense sensor-grid layout?
+def _grid_ordered_core(
+    xyz: np.ndarray, intensity: np.ndarray, row: np.ndarray, col: np.ndarray,
+    t: np.ndarray, label: np.ndarray, count: int, params: SensorParams,
+) -> bool:
+    """Shared predicate behind is_grid_ordered / arrays_grid_ordered.
 
-    True when the cloud has exactly ``grid_size`` points and every slot ``i``
-    holds either an all-zero point (an empty cell, label 0) or an in-bounds
-    point with ``row*H + col == i`` — the layout the selector binaries write
-    (/root/reference/KittiPointCloudSelect.cpp:240).  For such inputs
-    ``getOrderedCloud`` reduces to a slot-0 fix-up (see
-    ``pctpu.ops.preprocess._reorder_preordered``), letting the pipelines skip
-    the scatter+gather ordering kernel.
+    A slot counts as *empty* only when its float fields are **bit**-zero
+    (+0.0): a -0.0 coordinate is a real point the reference's last-wins
+    scatter would store byte-for-byte (0x80000000), so such clouds must take
+    the general ordering kernel to keep bit parity.
     """
     g = params.grid_size
-    if cloud.capacity != g or int(cloud.count) != g:
+    if xyz.shape[0] != g or count != g:
         return False
-    row = np.asarray(cloud.row)
-    col = np.asarray(cloud.col)
-    xyz = np.asarray(cloud.xyz)
-    inten = np.asarray(cloud.intensity)
-    t = np.asarray(cloud.t)
-    label = np.asarray(cloud.label)
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
+    xyz_bits = np.ascontiguousarray(np.asarray(xyz, np.float32)).view(np.uint32)
+    inten_bits = np.ascontiguousarray(
+        np.asarray(intensity, np.float32)
+    ).view(np.uint32)
     is_zero = (
-        (row == 0) & (col == 0) & (label == 0) & (t == 0)
-        & (inten == 0.0) & (xyz == 0.0).all(axis=1)
+        (row == 0) & (col == 0) & (np.asarray(label) == 0)
+        & (np.asarray(t) == 0)
+        & (inten_bits == 0) & (xyz_bits == 0).all(axis=1)
     )
     in_place = (
         (row >= 0) & (row < params.n_scan)
@@ -55,26 +56,31 @@ def is_grid_ordered(cloud: Cloud, params: SensorParams) -> bool:
     return bool(np.all(is_zero | in_place))
 
 
+def is_grid_ordered(cloud: Cloud, params: SensorParams) -> bool:
+    """Host-side check: is this cloud already in dense sensor-grid layout?
+
+    True when the cloud has exactly ``grid_size`` points and every slot ``i``
+    holds either an all-(bit-)zero point (an empty cell, label 0) or an
+    in-bounds point with ``row*H + col == i`` — the layout the selector
+    binaries write (/root/reference/KittiPointCloudSelect.cpp:240).  For such
+    inputs ``getOrderedCloud`` reduces to a slot-0 fix-up (see
+    ``pctpu.ops.preprocess._reorder_preordered``), letting the pipelines skip
+    the scatter+gather ordering kernel.
+    """
+    return _grid_ordered_core(
+        np.asarray(cloud.xyz), np.asarray(cloud.intensity),
+        np.asarray(cloud.row), np.asarray(cloud.col), np.asarray(cloud.t),
+        np.asarray(cloud.label), int(cloud.count), params,
+    )
+
+
 def arrays_grid_ordered(arrays: dict, params: SensorParams) -> bool:
     """``is_grid_ordered`` for the loader's SoA dict form (narrow dtypes,
     see pctpu.runtime.loader.load_xyzirct_arrays)."""
-    g = params.grid_size
-    row = np.asarray(arrays["row"], np.int64)
-    col = np.asarray(arrays["col"], np.int64)
-    if row.shape[0] != g or int(arrays["count"]) != g:
-        return False
-    is_zero = (
-        (row == 0) & (col == 0)
-        & (np.asarray(arrays["label"]) == 0)
-        & (np.asarray(arrays["t"]) == 0)
-        & (np.asarray(arrays["intensity"]) == 0.0)
-        & (np.asarray(arrays["xyz"]) == 0.0).all(axis=1)
+    return _grid_ordered_core(
+        arrays["xyz"], arrays["intensity"], arrays["row"], arrays["col"],
+        arrays["t"], arrays["label"], int(arrays["count"]), params,
     )
-    in_place = (
-        (row < params.n_scan) & (col < params.horizon_scan)
-        & (row * params.horizon_scan + col == np.arange(g))
-    )
-    return bool(np.all(is_zero | in_place))
 
 
 def get_ordered_cloud(cloud: Cloud, params: SensorParams) -> Cloud:

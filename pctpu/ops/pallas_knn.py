@@ -249,7 +249,12 @@ def _nn_pruned_kernel(qb_ref, tb_ref, thr_ref, q_ref, t_ref, val_ref, idx_ref):
         local_best = jnp.min(score, axis=1) + q2  # true d² of the block winner
         local_arg = jnp.argmin(score, axis=1).astype(jnp.int32) + jj * tt
 
-        better = local_best < val_ref[0, :]
+        # equal scores break toward the LOWEST global index (matching
+        # ops.knn.nn_1 / the kd-tree convention) — the diagonal-start visit
+        # order would otherwise make tie winners depend on the q-tile
+        better = (local_best < val_ref[0, :]) | (
+            (local_best == val_ref[0, :]) & (local_arg < idx_ref[0, :])
+        )
         val_ref[0, :] = jnp.where(better, local_best, val_ref[0, :])
         idx_ref[0, :] = jnp.where(better, local_arg, idx_ref[0, :])
 

@@ -192,17 +192,26 @@ def run_multi_bev(
         from pctpu.runtime.writer import AsyncWriter
 
         capacity = params.grid_size
-        loader = batched_prefetch(
-            files, batch_size, lambda f: load_xyzirct_arrays(f, capacity)
-        )
-        with AsyncWriter() as writer:
-            from pctpu.ops.ordering import arrays_grid_ordered
+        from pctpu.ops.ordering import arrays_grid_ordered
 
+        def _load(f):
+            # the grid-ordered layout check (7 full-array reductions) runs on
+            # the producer thread, overlapped with device compute — not in
+            # the consumer loop's critical path
+            a = load_xyzirct_arrays(f, capacity)
+            a["_grid_ordered"] = arrays_grid_ordered(a, params)
+            return a
+
+        loader = batched_prefetch(files, batch_size, _load)
+        with AsyncWriter() as writer:
             for names, payloads in loader:
-                arrays = stack_batch(payloads)
                 # selector-produced clouds are already grid-ordered: skip the
                 # ordering scatter+gather on device (host-verified fast path)
-                ordered = all(arrays_grid_ordered(p, params) for p in payloads)
+                ordered = all(p["_grid_ordered"] for p in payloads)
+                arrays = stack_batch(
+                    [{k: v for k, v in p.items() if k != "_grid_ordered"}
+                     for p in payloads]
+                )
                 with timer.stage("preprocess+bev", items=sum(1 for n in names if n)):
                     if sharding is not None:
                         # every field carries the batch axis first: shard it

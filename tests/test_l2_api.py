@@ -135,3 +135,22 @@ def test_knn_k_exceeds_cloud_size():
     for i in np.flatnonzero(ref_ok):
         d = min(np.linalg.norm(ours[i] - ref_n[i]), np.linalg.norm(ours[i] + ref_n[i]))
         assert d < 5e-3
+
+
+def test_coincident_pair_excluded_like_nan():
+    """Two coincident points (2-neighborhood, zero segment): the reference
+    divides by norm=0 and emits NaN normals (Normal2dEstimation.cpp:236-241);
+    pctpu's documented NaN policy is exclusion -> ok=False in both modes."""
+    import numpy as np
+
+    from pctpu.ops.normals2d import normals_2d, normals_2d_knn
+
+    xyz = np.array([[1.0, 1.0, 0.0], [1.0, 1.0, 0.0], [50.0, 50.0, 0.0]],
+                   np.float32)
+    mask = np.ones(3, bool)
+    _, _, ok_r = normals_2d(xyz, mask, radius=2.0)
+    assert not bool(np.asarray(ok_r)[0]) and not bool(np.asarray(ok_r)[1])
+    _, _, ok_k = normals_2d_knn(xyz, mask, k=2)
+    assert not bool(np.asarray(ok_k)[0]) and not bool(np.asarray(ok_k)[1])
+    # the far point with k=2 pairs with a distinct neighbor -> still valid
+    assert bool(np.asarray(ok_k)[2])

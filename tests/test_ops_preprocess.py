@@ -404,6 +404,39 @@ def test_preordered_fast_path_slot0_semantics():
     assert np.asarray(fast.xyz)[0].tolist() == [0.0, 0.0, 0.0]  # zeros won
 
 
+def test_negative_zero_slot_takes_general_path():
+    """A slot that is value-zero but holds -0.0 is a REAL point: the
+    reference's last-wins scatter stores its 0x80000000 byte pattern, so the
+    host gate must reject the fast path for such clouds (bit parity)."""
+    from pctpu.ops.ordering import arrays_grid_ordered, is_grid_ordered
+
+    g = SMALL.grid_size
+    xyz = np.zeros((g, 3), np.float32)
+    zeros_i = np.zeros(g, np.int32)
+    base = make_cloud(xyz, row=zeros_i, col=zeros_i)  # all-zero slots
+    assert is_grid_ordered(base, SMALL)
+
+    xyz2 = xyz.copy()
+    xyz2[g - 1, 0] = -0.0  # bit pattern 0x80000000, still == 0.0
+    c = make_cloud(xyz2, row=zeros_i, col=zeros_i)
+    assert not is_grid_ordered(c, SMALL)
+    arrays = {
+        "xyz": xyz2, "intensity": np.zeros(g, np.float32),
+        "row": np.zeros(g, np.uint16), "col": np.zeros(g, np.uint16),
+        "t": np.zeros(g, np.uint32), "label": np.zeros(g, np.int16),
+        "count": g,
+    }
+    assert not arrays_grid_ordered(arrays, SMALL)
+    arrays["xyz"] = xyz
+    assert arrays_grid_ordered(arrays, SMALL)
+
+    # and the general path preserves the -0.0 byte pattern at cell 0
+    # (last-wins: the final slot's -0.0 point overwrites cell (0,0))
+    general = get_ordered_cloud(c, SMALL)
+    assert np.asarray(general.xyz)[0, 0] == 0.0
+    assert np.signbit(np.asarray(general.xyz)[0, 0])
+
+
 def jax_tree_leaves(tree):
     import jax
 

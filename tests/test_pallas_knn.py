@@ -104,3 +104,27 @@ def test_icp_pruned_nn_matches_xla():
     np.testing.assert_allclose(np.asarray(a.transform), np.asarray(b.transform),
                                atol=1e-5)
     np.testing.assert_allclose(float(a.fitness), float(b.fitness), rtol=1e-4)
+
+
+def test_pruned_nn_tie_breaks_to_lowest_index():
+    """Exactly equidistant targets in different t-tiles: the winner must be
+    the lowest global index (ops.knn.nn_1 convention), independent of the
+    kernel's diagonal-start visit order."""
+    import jax.numpy as jnp
+
+    from pctpu.ops.pallas_knn import pallas_nn_1_pruned
+
+    # target layout chosen directly in sorted order (no spatial_sort: we
+    # need controlled tile placement).  Tile size 256 -> targets 0 and 256
+    # land in different tiles.
+    t = np.full((512, 3), 50.0, np.float32)
+    t[0] = [1.0, 0.0, 0.0]
+    t[256] = [-1.0, 0.0, 0.0]  # same distance from the origin query
+    q = np.zeros((128, 3), np.float32)
+    tm = np.ones(512, bool)
+    qm = np.zeros(128, bool)
+    qm[0] = True
+    idx, d2 = pallas_nn_1_pruned(q, qm, jnp.asarray(t), tm, max_distance=None,
+                                 tq=128, tt=256, interpret=True)
+    assert int(np.asarray(idx)[0]) == 0
+    np.testing.assert_allclose(float(np.asarray(d2)[0]), 1.0, rtol=1e-6)
