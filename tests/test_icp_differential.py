@@ -180,6 +180,59 @@ def test_point_to_plane_per_iteration(seed):
     np.testing.assert_allclose(float(res.fitness), ref["fitness"], rtol=2e-3, atol=1e-7)
 
 
+@pytest.mark.slow
+def test_point_to_point_fuzz_sweep():
+    """Seed sweep of the per-iteration differential, with a knife-edge
+    filter: a seed only asserts when the (f64) oracle's iteration count and
+    convergence flag are stable under a 1e-6 input perturbation — otherwise
+    the f32-op-vs-f64-oracle comparison is legitimately undefined (the exact
+    epsilon-exit iteration sits on a rounding boundary).  Requires that a
+    healthy majority of seeds actually assert, so the filter can't hollow
+    the test out."""
+    asserted = skipped = 0
+    for seed in range(100, 140):
+        yaw = 3.0 + (seed % 7) * 2.5
+        shift = (0.2 + 0.05 * (seed % 5), -0.25 + 0.1 * (seed % 3), 0.05)
+        src, tgt = scene(seed, yaw_deg=yaw, shift=shift)
+        guess = np.eye(4, dtype=np.float32)
+        cfg = IcpConfig(max_correspondence_distance=4.0, max_iterations=8)
+
+        ref_a = ref_impl.icp_ref(
+            src, tgt, guess, cfg.max_correspondence_distance,
+            cfg.max_iterations, cfg.transformation_epsilon,
+            cfg.euclidean_fitness_epsilon,
+        )
+        ref_b = ref_impl.icp_ref(
+            src + np.float32(1e-6), tgt, guess,
+            cfg.max_correspondence_distance, cfg.max_iterations,
+            cfg.transformation_epsilon, cfg.euclidean_fitness_epsilon,
+        )
+        if (len(ref_a["trace"]) != len(ref_b["trace"])
+                or ref_a["converged"] != ref_b["converged"]):
+            skipped += 1
+            continue
+        # plateau filter: once consecutive oracle MSEs differ by less than
+        # f32 MSE resolution, the 1e-12 absolute-MSE exit becomes an
+        # f32-op-vs-f64-oracle knife edge (see the hand-tuned tests above)
+        mses = [m for _, m, _ in ref_a["trace"] if np.isfinite(m)]
+        if any(abs(b - a) < 1e-7 * max(b, 1e-9)
+               for a, b in zip(mses, mses[1:])):
+            skipped += 1
+            continue
+
+        res, trace, ref = run_both(src, tgt, guess, cfg)
+        assert_traces_match(trace, ref, atol_t=1e-3, rtol_mse=1e-3)
+        assert bool(res.converged) == ref["converged"], seed
+        np.testing.assert_allclose(
+            float(res.fitness), ref["fitness"], rtol=2e-3, atol=1e-7,
+            err_msg=f"seed {seed}",
+        )
+        asserted += 1
+        if asserted >= 15:
+            break
+    assert asserted >= 10, (asserted, skipped)
+
+
 def test_trace_matches_production_icp():
     """icp_trace and the production while_loop icp return identical results."""
     src, tgt = scene(7)
