@@ -233,6 +233,72 @@ def test_point_to_point_fuzz_sweep():
     assert asserted >= 10, (asserted, skipped)
 
 
+def _plane_scene(seed, yaw_deg, shift):
+    """Two-wall z=0 scene with known normals (coarse-stage shape)."""
+    rng = np.random.default_rng(seed)
+    n = 90
+    u = rng.uniform(-6, 6, n)
+    wall = rng.integers(0, 2, n)
+    x = np.where(wall == 0, u, -4.0 + rng.normal(0, 0.01, n))
+    y = np.where(wall == 0, 4.0 + rng.normal(0, 0.01, n), u)
+    tgt = np.stack([x, y, np.zeros(n)], 1).astype(np.float32)
+    nrm = np.where(
+        wall[:, None] == 0,
+        np.array([[0.0, 1.0, 0.0]], np.float32),
+        np.array([[1.0, 0.0, 0.0]], np.float32),
+    ).astype(np.float32)
+    ok = rng.random(n) > 0.1
+    th = np.radians(yaw_deg)
+    rot = np.array([[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0],
+                    [0, 0, 1]], np.float32)
+    src = (tgt[rng.permutation(n)[:60]] - np.asarray(shift, np.float32)) @ rot
+    src = (src + rng.normal(0, 0.02, src.shape) * np.float32([1, 1, 0])).astype(
+        np.float32
+    )
+    return src, tgt, nrm, ok
+
+
+@pytest.mark.slow
+def test_point_to_plane_fuzz_sweep():
+    """The coarse-stage LLS path under the same filtered seed sweep."""
+    asserted = skipped = 0
+    for seed in range(200, 240):
+        yaw = 2.0 + (seed % 6) * 1.5
+        shift = (0.15 + 0.05 * (seed % 4), -0.2 + 0.08 * (seed % 3), 0.0)
+        src, tgt, nrm, ok = _plane_scene(seed, yaw, shift)
+        guess = np.eye(4, dtype=np.float32)
+        cfg = IcpConfig(max_correspondence_distance=10.0, max_iterations=4,
+                        point_to_plane=True)
+
+        def oracle(s):
+            return ref_impl.icp_ref(
+                s, tgt, guess, cfg.max_correspondence_distance,
+                cfg.max_iterations, cfg.transformation_epsilon,
+                cfg.euclidean_fitness_epsilon, tgt_normals=nrm, normal_ok=ok,
+            )
+
+        ref_a = oracle(src)
+        ref_b = oracle(src + np.float32(1e-6))
+        if (len(ref_a["trace"]) != len(ref_b["trace"])
+                or ref_a["converged"] != ref_b["converged"]):
+            skipped += 1
+            continue
+        mses = [m for _, m, _ in ref_a["trace"] if np.isfinite(m)]
+        if any(abs(b - a) < 1e-7 * max(b, 1e-9)
+               for a, b in zip(mses, mses[1:])):
+            skipped += 1
+            continue
+
+        res, trace, ref = run_both(src, tgt, guess, cfg, tgt_normals=nrm,
+                                   normal_ok=ok)
+        assert_traces_match(trace, ref, atol_t=3e-3, rtol_mse=3e-3)
+        assert bool(res.converged) == ref["converged"], seed
+        asserted += 1
+        if asserted >= 12:
+            break
+    assert asserted >= 8, (asserted, skipped)
+
+
 def test_trace_matches_production_icp():
     """icp_trace and the production while_loop icp return identical results."""
     src, tgt = scene(7)
