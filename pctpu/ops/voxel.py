@@ -61,10 +61,19 @@ def voxel_downsample(
     seg = jnp.cumsum(head.astype(jnp.int32)) - 1  # segment id per sorted point
     seg = jnp.where(mask_s, seg, n - 1)  # park padding in the last slot
 
-    ssum = jnp.zeros((n, 3), jnp.float32).at[seg].add(
-        jnp.where(mask_s[:, None], xyz_s, 0.0)
+    # ONE fused (n, 4) scatter for (x, y, z, count): scatter cost on v5e is
+    # per update *index*, so packing the count column in is nearly free while
+    # a second scatter over the same indices costs another full pass
+    updates = jnp.concatenate(
+        [
+            jnp.where(mask_s[:, None], xyz_s, 0.0),
+            mask_s.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
     )
-    scount = jnp.zeros((n,), jnp.float32).at[seg].add(mask_s.astype(jnp.float32))
+    acc = jnp.zeros((n, 4), jnp.float32).at[seg].add(updates)
+    ssum = acc[:, :3]
+    scount = acc[:, 3]
     nvox = jnp.sum(head.astype(jnp.int32))
     valid = jnp.arange(n) < nvox
     centroids = jnp.where(
