@@ -117,12 +117,23 @@ def write_pcd(
         else:
             out = _io.StringIO()
             for row in rec:
-                out.write(" ".join(_ascii_value(v) for v in row))
+                # np.ravel flattens COUNT>1 subarray fields into their
+                # elements (the binary writer and both readers already
+                # handle multi-count fields)
+                out.write(
+                    " ".join(
+                        _ascii_value(v)
+                        for cell in row
+                        for v in np.ravel(cell)
+                    )
+                )
                 out.write("\n")
             fh.write(out.getvalue().encode("ascii"))
 
 
 def _ascii_value(v) -> str:
+    if isinstance(v, np.float64):
+        return repr(float(v))  # full f64 precision for ('F', 8) fields
     if isinstance(v, (np.floating, float)):
         return repr(float(np.float32(v)))
     return str(int(v))

@@ -36,9 +36,29 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pctpu.cloud import Cloud
 from pctpu.config import GroundConfig, SensorParams
+
+
+def _strict_gt_f32_threshold(margin: float) -> np.float32:
+    """Smallest f32 strictly greater than the f64 ``margin``.
+
+    C++ semantics: the f32 rooftop difference is promoted to double and
+    compared strictly against the double margin
+    (/root/reference/BatchMultiBevGen.cpp:227-241).  For f32-valued d,
+    ``d > m`` ⟺ ``d >= d0`` with d0 as returned here — for the default 0.30,
+    f32(0.30) > 0.30 so d0 = f32(0.30); an exactly f32-representable margin
+    like 0.25 needs one nextafter step so the comparison stays strict.
+    """
+    m64 = float(margin)
+    m32 = np.float32(m64)
+    # NB: compare in f64 explicitly — NumPy 2 weak promotion would otherwise
+    # round m64 down to f32 and make the comparison trivially false
+    if float(m32) > m64:
+        return m32
+    return np.nextafter(m32, np.float32(np.inf))
 
 
 def _grid_table_lookup(
@@ -162,17 +182,19 @@ def mark_ground(
     angle = jnp.degrees(jnp.arctan2(dz, jnp.sqrt(dx * dx + dy * dy)))
     slope_ok = (~invalid) & (jnp.abs(angle) <= cfg.slope_deg)
 
-    # closed form of the sequential bottom-up writes
+    # closed form of the sequential bottom-up writes: rows r_min..n-2 are
+    # covered by swept_vals below, so the "marked from the cell below" write
+    # only needs to land on row r_min-1 (the one row above the sweep)
     ground_from_below = jnp.zeros((n, h), bool)
     ground_from_below = ground_from_below.at[r_min - 1 : n - 1].set(slope_ok)
     mark = jnp.zeros((n, h), jnp.int8)
-    mark = mark.at[r_min - 1 : n - 1].set(
-        jnp.where(ground_from_below[r_min - 1 : n - 1], 1, 0).astype(jnp.int8)
+    mark = mark.at[r_min - 1].set(
+        ground_from_below[r_min - 1].astype(jnp.int8)
     )
     swept_vals = jnp.where(
         invalid,
         jnp.int8(-1),
-        jnp.where(slope_ok | ground_from_below[r_min:], 1, 0).astype(jnp.int8),
+        (slope_ok | ground_from_below[r_min:]).astype(jnp.int8),
     )
     mark = mark.at[r_min:].set(swept_vals)
 
@@ -208,7 +230,9 @@ def mark_ground(
         jnp.minimum(padded[1:-1, :-2], padded[1:-1, 2:]),
     )
     m_per_point = _grid_table_lookup(nbr_min, srow, scol)
-    veto_sw = (z_sw - m_per_point) >= jnp.float32(cfg.rooftop_margin)
+    veto_sw = (z_sw - m_per_point) >= jnp.float32(
+        _strict_gt_f32_threshold(cfg.rooftop_margin)
+    )
     veto = jnp.zeros((g,), bool).at[swept_slice].set(veto_sw)
     mark = jnp.where(veto.reshape(n, h), jnp.int8(0), mark)
 

@@ -157,14 +157,16 @@ def _icp_impl(
         # are recomputed from transformed positions every call)
         interp = nn_impl == "pruned_interpret"
         if tgt_normals is not None:
-            nm = (
-                jnp.ones_like(tgt_mask) if normal_mask is None else normal_mask
-            ).astype(jnp.int32)
-            tgt_xyz, tgt_mask, tgt_normals, nm_s = spatial_sort_payload(
-                tgt_xyz, tgt_mask, tgt_normals, nm
-            )
             if normal_mask is not None:
+                tgt_xyz, tgt_mask, tgt_normals, nm_s = spatial_sort_payload(
+                    tgt_xyz, tgt_mask, tgt_normals,
+                    normal_mask.astype(jnp.int32),
+                )
                 normal_mask = nm_s.astype(bool)
+            else:
+                tgt_xyz, tgt_mask, tgt_normals = spatial_sort_payload(
+                    tgt_xyz, tgt_mask, tgt_normals
+                )
         else:
             tgt_xyz, tgt_mask = spatial_sort_payload(tgt_xyz, tgt_mask)
         src_xyz, src_mask = spatial_sort_payload(src_xyz, src_mask)
@@ -226,10 +228,17 @@ def _icp_impl(
     def one_iteration(transformed):
         idx, d2 = nn_corr(transformed, src_mask, corr_tgt_mask)
         w = (src_mask & (d2 <= max_d2)).astype(jnp.float32)
-        tgt = tgt_xyz[idx]
+        # sanitize rejected-correspondence gathers BEFORE the estimation:
+        # unmatched queries carry idx 0 (the pruned kernel's convention), and
+        # a NaN coordinate/normal there would poison the solve through
+        # NaN * 0 = NaN even though w masks the row (identical results for
+        # finite inputs — zeroed rows contribute exact zeros either way)
+        keep = w[:, None] > 0
+        tgt = jnp.where(keep, tgt_xyz[idx], 0.0)
         if cfg.point_to_plane:
             assert tgt_normals is not None
-            inc = _estimate_point_to_plane_lls(transformed, tgt, tgt_normals[idx], w)
+            nrm = jnp.where(keep, tgt_normals[idx], 0.0)
+            inc = _estimate_point_to_plane_lls(transformed, tgt, nrm, w)
         else:
             inc = _estimate_svd(transformed, tgt, w)
         return inc, w, d2

@@ -43,6 +43,7 @@ def mark_ground_ref(
     ground_upper_scan: int,
     grid_rows: int = 75,
     grid_cols: int = 50,
+    rooftop_margin: float = 0.30,
 ) -> np.ndarray:
     """markGroundPoints (/root/reference/BatchMultiBevGen.cpp:119-252).
 
@@ -103,8 +104,8 @@ def mark_ground_ref(
                 nr, nc = sr + dr, sc + dc
                 if nr < 0 or nr >= grid_rows or nc < 0 or nc >= grid_cols:
                     continue
-                # f32 difference promoted to f64, compared to the double 0.30
-                if float(np.float32(cloud[idx]["z"]) - avg[nr, nc]) > 0.30:
+                # f32 difference promoted to f64, compared to the double margin
+                if float(np.float32(cloud[idx]["z"]) - avg[nr, nc]) > rooftop_margin:
                     gm[row, col] = 0
                     break
             if gm[row, col] == 1:

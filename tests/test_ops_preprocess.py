@@ -404,6 +404,46 @@ def test_preordered_fast_path_slot0_semantics():
     assert np.asarray(fast.xyz)[0].tolist() == [0.0, 0.0, 0.0]  # zeros won
 
 
+def test_rooftop_margin_strictness_threshold():
+    """The veto must stay a STRICT f64 comparison for any margin: f32(0.30)
+    > 0.30 makes >= f32(0.30) equivalent, but an exactly representable
+    margin (0.25) needs one nextafter step."""
+    from pctpu.ops.ground import _strict_gt_f32_threshold
+
+    d030 = _strict_gt_f32_threshold(0.30)
+    assert d030 == np.float32(0.30) and float(d030) > 0.30
+    d025 = _strict_gt_f32_threshold(0.25)
+    assert d025 == np.nextafter(np.float32(0.25), np.float32(np.inf))
+    assert not (np.float32(0.25) >= d025)  # d == margin exactly: kept
+    # margins below their f32 rounding (f32(m) < m) also stay strict
+    m = 0.1  # f32(0.1) > 0.1; pick one with f32(m) < m: 0.3 is >, try 0.7?
+    import struct
+    for m in (0.1, 0.2, 0.25, 0.3, 0.4, 0.5, 0.7):
+        d0 = _strict_gt_f32_threshold(m)
+        assert float(d0) > m  # strictly above the f64 margin
+        below = np.nextafter(d0, np.float32(-np.inf))
+        assert not (float(below) > m)  # and the next f32 down is not
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_ground_marking_custom_margin_matches_oracle(seed):
+    """Differential check with a non-default, exactly-f32-representable
+    rooftop margin (0.25)."""
+    from pctpu.config import GroundConfig
+
+    rng = np.random.default_rng(seed)
+    points = random_points(rng, 400, SMALL, intensity_neg1_frac=0.1)
+    ref_cloud, _ = ordered_ref_arrays(points, SMALL)
+    ref_impl.mark_ground_ref(
+        ref_cloud, SMALL.n_scan, SMALL.horizon_scan, SMALL.ground_upper_scan,
+        rooftop_margin=0.25,
+    )
+    ordered = get_ordered_cloud(to_cloud(points), SMALL)
+    labeled, _ = mark_ground(ordered, SMALL, GroundConfig(rooftop_margin=0.25))
+    ref_labels = np.array([p["label"] for p in ref_cloud], np.int32)
+    np.testing.assert_array_equal(np.asarray(labeled.label), ref_labels)
+
+
 def test_negative_zero_slot_takes_general_path():
     """A slot that is value-zero but holds -0.0 is a REAL point: the
     reference's last-wins scatter stores its 0x80000000 byte pattern, so the

@@ -128,3 +128,47 @@ def test_pruned_nn_tie_breaks_to_lowest_index():
                                  tq=128, tt=256, interpret=True)
     assert int(np.asarray(idx)[0]) == 0
     np.testing.assert_allclose(float(np.asarray(d2)[0]), 1.0, rtol=1e-6)
+
+
+def test_icp_pruned_nan_normal_not_poisoning():
+    """A NaN normal on an excluded target (normal_mask False) plus masked
+    source padding must not NaN-poison the point-to-plane solve through the
+    pruned path's idx=0 convention for unmatched queries."""
+    from pctpu.config import IcpConfig
+    from pctpu.ops.icp import icp_point_to_plane
+
+    rng = np.random.default_rng(3)
+    n = 80
+    u = rng.uniform(-6, 6, n)
+    wall = rng.integers(0, 2, n)
+    x = np.where(wall == 0, u, -4.0 + rng.normal(0, 0.01, n))
+    y = np.where(wall == 0, 4.0 + rng.normal(0, 0.01, n), u)
+    tgt = np.stack([x, y, np.zeros(n)], 1).astype(np.float32)
+    nrm = np.where(
+        wall[:, None] == 0,
+        np.array([[0.0, 1.0, 0.0]], np.float32),
+        np.array([[1.0, 0.0, 0.0]], np.float32),
+    ).astype(np.float32)
+    ok = np.ones(n, bool)
+    # one excluded target with a NaN normal (the reference's isolated-point
+    # case); make its coordinates extreme so Morton sorting parks it at a
+    # tile the unmatched-idx convention can land on
+    tgt[0] = [-100.0, -100.0, 0.0]
+    nrm[0] = np.nan
+    ok[0] = False
+    src = (tgt[5:65] - np.float32([0.2, -0.1, 0.0])).astype(np.float32)
+    # masked padding sources (unmatched -> idx 0 inside the kernel)
+    sm = np.ones(60, bool)
+    sm[55:] = False
+    cfg = IcpConfig(max_correspondence_distance=2.0, max_iterations=6,
+                    point_to_plane=True)
+    guess = np.eye(4, dtype=np.float32)
+    a = icp_point_to_plane(src, sm, tgt, np.ones(n, bool), nrm, ok, guess,
+                           cfg, nn_impl="xla")
+    b = icp_point_to_plane(src, sm, tgt, np.ones(n, bool), nrm, ok, guess,
+                           cfg, nn_impl="pruned_interpret")
+    for r in (a, b):
+        assert np.isfinite(np.asarray(r.transform)).all()
+        assert np.isfinite(float(r.fitness))
+    np.testing.assert_allclose(np.asarray(a.transform), np.asarray(b.transform),
+                               atol=1e-5)

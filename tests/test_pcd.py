@@ -172,3 +172,27 @@ def test_read_binary_compressed_pcd(tmp_path):
     assert meta2["points"] == n
     for name in plain:
         np.testing.assert_array_equal(got[name], plain[name])
+
+
+def test_ascii_multi_count_field_round_trip(tmp_path):
+    from pctpu.io.pcd import FieldSpec, read_pcd, write_pcd
+
+    data = {"desc": np.arange(6, dtype=np.float32).reshape(2, 3) * 0.5,
+            "x": np.array([1.5, -2.5], np.float32)}
+    fields = (FieldSpec("desc", np.float32, 3), FieldSpec("x", np.float32, 1))
+    p = tmp_path / "multi.pcd"
+    write_pcd(str(p), data, fields=fields, binary=False)
+    out, meta = read_pcd(str(p))
+    np.testing.assert_array_equal(out["desc"], data["desc"])
+    np.testing.assert_array_equal(out["x"], data["x"])
+
+
+def test_ascii_float64_round_trip(tmp_path):
+    from pctpu.io.pcd import FieldSpec, read_pcd, write_pcd
+
+    v = np.array([1.000000000001, -3.141592653589793], np.float64)
+    p = tmp_path / "f64.pcd"
+    write_pcd(str(p), {"d": v}, fields=(FieldSpec("d", np.float64, 1),),
+              binary=False)
+    out, _ = read_pcd(str(p))
+    np.testing.assert_array_equal(out["d"], v)
