@@ -27,16 +27,14 @@ def read_bin(path: str) -> dict[str, np.ndarray]:
     """Read an Oxford velodyne .bin into XYZIRCT field arrays."""
     raw = np.fromfile(path, np.float32)
     n = len(raw) // 4
-    x = -raw[0:n].astype(np.float64)
-    y = raw[n : 2 * n].astype(np.float64)
-    z = -raw[2 * n : 3 * n].astype(np.float64)
+    # upside-down lidar fix x = -x, z = -z (:203-204); f32 negation is exact,
+    # no need for a double detour
+    x32 = -raw[0:n]
+    y32 = raw[n : 2 * n].copy()
+    z32 = -raw[2 * n : 3 * n]
     intensity = raw[3 * n : 4 * n]
 
     from pctpu.ops.rounding import c_round_np
-
-    x32 = x.astype(np.float32)
-    y32 = y.astype(np.float32)
-    z32 = z.astype(np.float32)
     # float members → f32 products; atan2 promoted to double by /M_PI*180.0f
     # then stored in a float (:208); row expression is double (10.67/1.3335
     # literals) on the f32 elevation
@@ -57,9 +55,9 @@ def read_bin(path: str) -> dict[str, np.ndarray]:
     col = np.where(col < 0, col + HORIZON_SCAN, col)
 
     return {
-        "x": x.astype(np.float32),
-        "y": y.astype(np.float32),
-        "z": z.astype(np.float32),
+        "x": x32,
+        "y": y32,
+        "z": z32,
         "intensity": intensity.copy(),
         "row": row.astype(np.uint16),
         "col": col.astype(np.uint16),

@@ -17,6 +17,14 @@ mask matmuls: per query tile, a (tile, P) radius mask contracts against the
 (P, 6) moment matrix [x, y, x², xy, y², 1] on the MXU, and the 2×2
 eigenproblem is solved in closed form — no loops, no trees.
 
+All coordinates are first shifted by the cloud's bbox center: the scatter is
+assembled from uncentered moments (sxx = Σx² − cnt·mx²), which cancels
+catastrophically far from the origin (measured ~10× normal-accuracy loss for
+a wall at (95, 40) m vs the reference's demeaned PCA2D).  The scatter,
+2-point segment, and viewpoint flip are all translation-invariant, so
+shifting points AND viewpoint by one global center restores full f32
+relative accuracy without changing the semantics.
+
 Note on curvature: the reference's pcl::Normal overload computes "curvature"
 from eigen*vector* matrix entries (Normal2dEstimation.cpp:261) — an apparent
 bug; the value is never consumed downstream (ICP point-to-plane uses only
@@ -31,6 +39,72 @@ import jax
 import jax.numpy as jnp
 
 from pctpu.ops.eig2 import eig2_sym_values, eig2_sym_vector
+
+_BIG = 3e38
+
+
+def _centered(xyz: jnp.ndarray, mask: jnp.ndarray, viewpoint):
+    """Shift 2-D coordinates and viewpoint by the valid-point bbox center
+    (see the module docstring: controls Σx² − cnt·mx² cancellation)."""
+    p2 = xyz[:, :2]
+    mins = jnp.min(jnp.where(mask[:, None], p2, _BIG), axis=0)
+    maxs = jnp.max(jnp.where(mask[:, None], p2, -_BIG), axis=0)
+    center = jnp.where(maxs >= mins, 0.5 * (mins + maxs), 0.0)
+    vx, vy = viewpoint
+    return p2 - center, (vx - center[0], vy - center[1])
+
+
+def _moment_matrix(p2c: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """(P, 6) per-point moments [x, y, x², x·y, y², 1], masked to zero."""
+    x = p2c[:, 0]
+    y = p2c[:, 1]
+    moments = jnp.stack([x, y, x * x, x * y, y * y, jnp.ones_like(x)], axis=1)
+    return jnp.where(mask[:, None], moments, 0.0)
+
+
+def _sums_to_normal(sums: jnp.ndarray):
+    """Neighborhood moment sums → (minor-eigvec normal, curvature)."""
+    cnt = jnp.maximum(sums[:, 5], 1.0)
+    mx = sums[:, 0] / cnt
+    my = sums[:, 1] / cnt
+    # unnormalized scatter of demeaned points: S = Σpᵢpᵢᵀ − c·μμᵀ
+    sxx = sums[:, 2] - cnt * mx * mx
+    sxy = sums[:, 3] - cnt * mx * my
+    syy = sums[:, 4] - cnt * my * my
+    lam_max, lam_min = eig2_sym_values(sxx, sxy, syy)
+    v = eig2_sym_vector(sxx, sxy, syy, lam_min)  # minor eigvec = normal
+    curv = lam_min / jnp.maximum(lam_max + lam_min, 1e-30)
+    return v, curv
+
+
+def _finalize_normals(qt_c, other_c, count_i, v, curv, qm, vpc):
+    """Shared tail of both modes: 2-neighbor perpendicular, coincident-pair
+    gate, viewpoint flip, and invalid zeroing.
+
+    * exactly 2 neighbors → perpendicular of (self − other),
+      Normal2dEstimation.cpp:235-247, curvature 0;
+    * coincident duplicate pair → NaN in the reference (divide by norm 0,
+      :236-241) → excluded under pctpu's documented NaN-normal policy.
+      Coincidence tests exact COORDINATE equality (not ‖seg‖ == 0): it is
+      then invariant to which of several distance-tied neighbors the argmin
+      picked, so plain and GSPMD-sharded compilations agree;
+    * flip toward the viewpoint (:305-318), zero invalid normals.
+    """
+    seg = qt_c - other_c
+    seg_n = jnp.linalg.norm(seg, axis=1, keepdims=True)
+    seg = seg / jnp.maximum(seg_n, 1e-30)
+    pair_normal = jnp.stack([-seg[:, 1], seg[:, 0]], axis=1)
+
+    normal = jnp.where((count_i == 2)[:, None], pair_normal, v)
+    curv = jnp.where(count_i == 2, 0.0, curv)
+    coincident = jnp.all(other_c == qt_c, axis=1)
+    ok = qm & (count_i >= 2) & ~((count_i == 2) & coincident)
+
+    vp = jnp.stack([vpc[0] - qt_c[:, 0], vpc[1] - qt_c[:, 1]], axis=1)
+    cos_t = jnp.sum(vp * normal, axis=1)
+    normal = jnp.where((cos_t < 0)[:, None], -normal, normal)
+    normal = jnp.where(ok[:, None], normal, 0.0)
+    return normal, curv, ok
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
@@ -47,22 +121,15 @@ def normals_2d(
     reference); their normal is (0,0,0) here so downstream masking is clean.
     """
     n = xyz.shape[0]
-    p2 = xyz[:, :2]
     r2 = jnp.float32(radius * radius)
-    vx, vy = viewpoint
+    p2c, vpc = _centered(xyz, mask, viewpoint)
 
-    # per-point moments for neighborhood sums: [x, y, x², x·y, y², 1]
-    x = p2[:, 0]
-    y = p2[:, 1]
-    moments = jnp.stack(
-        [x, y, x * x, x * y, y * y, jnp.ones_like(x)], axis=1
-    )
-    moments = jnp.where(mask[:, None], moments, 0.0)
-    t_sq = jnp.sum(p2 * p2, axis=1)
+    moments = _moment_matrix(p2c, mask)
+    t_sq = jnp.sum(p2c * p2c, axis=1)
     t_sq_masked = jnp.where(mask, t_sq, jnp.inf)
 
     rem = (-n) % tile
-    p2_pad = jnp.pad(p2, ((0, rem), (0, 0)))
+    p2_pad = jnp.pad(p2c, ((0, rem), (0, 0)))
     mask_pad = jnp.pad(mask, (0, rem))
 
     prec = jax.lax.Precision.HIGHEST  # full f32 accumulation (see ops/knn.py)
@@ -71,56 +138,24 @@ def normals_2d(
         qt, qm = args  # (tile, 2), (tile,)
         d = (
             jnp.sum(qt * qt, axis=1, keepdims=True)
-            - 2.0 * jnp.matmul(qt, p2.T, precision=prec)
+            - 2.0 * jnp.matmul(qt, p2c.T, precision=prec)
             + t_sq_masked[None, :]
         )
         nbr = (d <= r2) & qm[:, None]  # (tile, P)
         nbr_f = nbr.astype(jnp.float32)
         sums = jnp.matmul(nbr_f, moments, precision=prec)  # (tile, 6) on the MXU
-        cnt = sums[:, 5]
-        mx = sums[:, 0] / cnt
-        my = sums[:, 1] / cnt
-        # unnormalized scatter of demeaned points: S = Σpᵢpᵢᵀ − c·μμᵀ
-        sxx = sums[:, 2] - cnt * mx * mx
-        sxy = sums[:, 3] - cnt * mx * my
-        syy = sums[:, 4] - cnt * my * my
+        v, curv = _sums_to_normal(sums)
 
-        # closed-form symmetric 2×2 eigenpairs
-        lam_max, lam_min = eig2_sym_values(sxx, sxy, syy)
-        v = eig2_sym_vector(sxx, sxy, syy, lam_min)  # minor eigvec = normal
-        curv = lam_min / jnp.maximum(lam_max + lam_min, 1e-30)
-
-        # 2-neighbor special case: perpendicular of (self − other)
+        # the 2-neighbor "other" point = nearest neighbor excluding self
+        # (kd-tree order is by distance, so indices[1] is the second-closest
+        # = argmin after masking self out)
         masked_d = jnp.where(nbr, d, jnp.inf)
-        # the other point = nearest neighbor excluding self (distance > 0 or
-        # different index); kd-tree order is by distance so indices[1] is the
-        # second-closest, i.e. argmin after masking self out
         self_idx = jnp.argmin(masked_d, axis=1)
         d_no_self = masked_d.at[jnp.arange(masked_d.shape[0]), self_idx].set(jnp.inf)
         other_idx = jnp.argmin(d_no_self, axis=1)
-        seg = qt - p2[other_idx]
-        seg_n = jnp.linalg.norm(seg, axis=1, keepdims=True)
-        seg = seg / jnp.maximum(seg_n, 1e-30)
-        pair_normal = jnp.stack([-seg[:, 1], seg[:, 0]], axis=1)
 
         count_i = jnp.sum(nbr, axis=1)
-        normal = jnp.where((count_i == 2)[:, None], pair_normal, v)
-        curv = jnp.where(count_i == 2, 0.0, curv)
-        # coincident 2-point neighborhoods: the reference divides by norm=0
-        # and emits a NaN normal (Normal2dEstimation.cpp:236-241); pctpu's
-        # documented NaN-normal policy is exclusion, so mark them invalid.
-        # Coincidence tests exact COORDINATE equality (not seg_n == 0): it
-        # is then invariant to which of several distance-tied neighbors the
-        # argmin picked, so plain and GSPMD-sharded compilations agree.
-        coincident = jnp.all(p2[other_idx] == qt, axis=1)
-        ok = qm & (count_i >= 2) & ~((count_i == 2) & coincident)
-
-        # flip toward viewpoint (origin by default)
-        vp = jnp.stack([vx - qt[:, 0], vy - qt[:, 1]], axis=1)
-        cos_t = jnp.sum(vp * normal, axis=1)
-        normal = jnp.where((cos_t < 0)[:, None], -normal, normal)
-        normal = jnp.where(ok[:, None], normal, 0.0)
-        return normal, curv, ok
+        return _finalize_normals(qt, p2c[other_idx], count_i, v, curv, qm, vpc)
 
     tiles = (p2_pad.reshape(-1, tile, 2), mask_pad.reshape(-1, tile))
     normal, curv, ok = jax.lax.map(one_tile, tiles)
@@ -148,17 +183,14 @@ def normals_2d_knn(
     """
     n = xyz.shape[0]
     k = min(k, n)
-    p2 = xyz[:, :2]
-    vx, vy = viewpoint
-    x = p2[:, 0]
-    y = p2[:, 1]
-    moments = jnp.stack([x, y, x * x, x * y, y * y, jnp.ones_like(x)], axis=1)
-    moments = jnp.where(mask[:, None], moments, 0.0)
-    t_sq = jnp.sum(p2 * p2, axis=1)
+    p2c, vpc = _centered(xyz, mask, viewpoint)
+
+    moments = _moment_matrix(p2c, mask)
+    t_sq = jnp.sum(p2c * p2c, axis=1)
     t_sq_masked = jnp.where(mask, t_sq, jnp.inf)
 
     rem = (-n) % tile
-    p2_pad = jnp.pad(p2, ((0, rem), (0, 0)))
+    p2_pad = jnp.pad(p2c, ((0, rem), (0, 0)))
     mask_pad = jnp.pad(mask, (0, rem))
     prec = jax.lax.Precision.HIGHEST
 
@@ -166,7 +198,7 @@ def normals_2d_knn(
         qt, qm = args
         d = (
             jnp.sum(qt * qt, axis=1, keepdims=True)
-            - 2.0 * jnp.matmul(qt, p2.T, precision=prec)
+            - 2.0 * jnp.matmul(qt, p2c.T, precision=prec)
             + t_sq_masked[None, :]
         )
         neg_d, idx = jax.lax.top_k(-d, k)  # ascending distance order
@@ -176,36 +208,11 @@ def normals_2d_knn(
         sums = jnp.sum(
             jnp.where(picked[:, :, None], moments[idx], 0.0), axis=1
         )  # (tile, 6)
-        cnt = jnp.maximum(sums[:, 5], 1.0)
-        mx = sums[:, 0] / cnt
-        my = sums[:, 1] / cnt
-        sxx = sums[:, 2] - cnt * mx * mx
-        sxy = sums[:, 3] - cnt * mx * my
-        syy = sums[:, 4] - cnt * my * my
+        v, curv = _sums_to_normal(sums)
 
-        lam_max, lam_min = eig2_sym_values(sxx, sxy, syy)
-        v = eig2_sym_vector(sxx, sxy, syy, lam_min)
-        curv = lam_min / jnp.maximum(lam_max + lam_min, 1e-30)
-
-        # 2-neighbor special case: nearestKSearch order is ascending, so
-        # idx[:, 0] is self and idx[:, 1] the other point
-        seg = qt - p2[idx[:, 1]]
-        seg_n = jnp.linalg.norm(seg, axis=1, keepdims=True)
-        seg = seg / jnp.maximum(seg_n, 1e-30)
-        pair_normal = jnp.stack([-seg[:, 1], seg[:, 0]], axis=1)
-
-        normal = jnp.where((count_i == 2)[:, None], pair_normal, v)
-        curv = jnp.where(count_i == 2, 0.0, curv)
-        # coincident duplicate pair → NaN in the reference → excluded here
-        # (same policy and same exact-coordinate test as the radius path)
-        coincident = jnp.all(p2[idx[:, 1]] == qt, axis=1)
-        ok = qm & (count_i >= 2) & ~((count_i == 2) & coincident)
-
-        vp = jnp.stack([vx - qt[:, 0], vy - qt[:, 1]], axis=1)
-        cos_t = jnp.sum(vp * normal, axis=1)
-        normal = jnp.where((cos_t < 0)[:, None], -normal, normal)
-        normal = jnp.where(ok[:, None], normal, 0.0)
-        return normal, curv, ok
+        # nearestKSearch order is ascending, so idx[:, 0] is self and
+        # idx[:, 1] the 2-neighbor "other" point
+        return _finalize_normals(qt, p2c[idx[:, 1]], count_i, v, curv, qm, vpc)
 
     tiles = (p2_pad.reshape(-1, tile, 2), mask_pad.reshape(-1, tile))
     normal, curv, ok = jax.lax.map(one_tile, tiles)

@@ -140,6 +140,26 @@ def test_normals_match_reference(seed):
     assert dots.min() > 1 - 1e-4
 
 
+def test_normals_accurate_far_from_origin():
+    """A tight wall at (95, 40) m: uncentered f32 moments (Σx² ≈ 1e7, ulp
+    ~1) used to lose ~10× normal accuracy to cancellation; the bbox-centered
+    moments must stay within ~0.03° of the demeaned f64 oracle."""
+    rng = np.random.default_rng(3)
+    n = 600
+    u = rng.uniform(-4.0, 4.0, n)
+    pts = np.stack(
+        [95.0 + rng.normal(0, 0.004, n), 40.0 + u], axis=1
+    ).astype(np.float32)  # wall along y, normal along x
+    xyz = np.concatenate([pts, np.zeros((n, 1), np.float32)], axis=1)
+    ref_n, ref_valid = ref_impl.normals2d_ref(xyz, radius=2.0)
+    got_n, _, got_valid = normals_2d(xyz, np.ones(n, bool), radius=2.0, tile=64)
+    got_n = np.asarray(got_n)[:, :2]
+    np.testing.assert_array_equal(np.asarray(got_valid), ref_valid)
+    dots = np.abs(np.sum(got_n[ref_valid] * ref_n[ref_valid], axis=1))
+    worst_deg = float(np.degrees(np.arccos(np.clip(dots.min(), -1, 1))))
+    assert worst_deg < 0.03, worst_deg
+
+
 def test_icp_point_to_point_recovers_transform():
     # a small perturbation (well under the inter-point spacing) so the first
     # NN assignment is already correct — ICP on a structureless random blob
