@@ -104,11 +104,16 @@ def sharded_nn_1(mesh: Mesh, tile: int = 512):
 
 
 def psum_metrics(mesh: Mesh):
-    """Aggregate per-shard scalar metrics (sums) across the whole mesh."""
+    """Aggregate per-shard scalar metrics (sums) across the mesh's data axis.
+
+    The input is sharded over 'data' only (in_specs), so it is REPLICATED
+    along 'points' — psum'ing over 'points' too would multiply the total by
+    n_points (each points-shard holds an identical copy).  Returns the
+    scalar grand total (within-shard sum + cross-shard psum)."""
     from jax.experimental.shard_map import shard_map
 
     def local(x):
-        return jax.lax.psum(jax.lax.psum(x, "data"), "points")
+        return jax.lax.psum(jnp.sum(x), "data")
 
     return jax.jit(
         shard_map(

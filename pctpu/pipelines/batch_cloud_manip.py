@@ -82,7 +82,12 @@ def run_batch_cloud_manip(
 
     files = list_pcd_files(in_dir)
     if resume:
-        files = [f for f in files if not os.path.exists(bvm_dir + _short(f) + ".csv")]
+        # key on the last-written artifact (the labeled pcd) so a crash
+        # mid-cloud re-runs it rather than dropping the later outputs
+        files = [
+            f for f in files
+            if not os.path.exists(non_ground_dir + _short(f) + ".pcd")
+        ]
 
     timer = StageTimer()
     if files:

@@ -180,9 +180,12 @@ def run_multi_bev(
 
     files = process_shard(list_pcd_files(in_dir), pid, nproc)
     if resume:
+        # key on the LAST artifact _write_outputs produces (the labeled
+        # pcd): a crash mid-task then re-runs the whole cloud instead of
+        # permanently dropping the later siblings of an existing .bin
         files = [
             f for f in files
-            if not os.path.exists(bin_dir + _short_name(f) + ".bin")
+            if not os.path.exists(non_ground_dir + _short_name(f) + ".pcd")
         ]
     log.info(f"Using sensor params: {params}")
 
@@ -230,7 +233,10 @@ def run_multi_bev(
                     packed_h, single_h, wire_h = jax.device_get(
                         (packed, single, wire)
                     )
-                    s = single_h.shape[-1]
+                    # grid side from the multi-BEV's OWN packed shape
+                    # (b, layers, s, s//8) — the single BEV may use a
+                    # different mat_size in custom configs
+                    s = packed_h.shape[-2]
                     multi_h = np.unpackbits(
                         packed_h.reshape(packed_h.shape[0], -1), axis=1,
                         bitorder="little",

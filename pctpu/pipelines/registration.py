@@ -397,8 +397,6 @@ def run_batch_top_part_registration(
             return
         for start in range(0, len(matches), pair_batch):
             chunk = matches[start : start + pair_batch]
-            # a short tail repeats its last pair to keep the compiled shape
-            padded = chunk + [chunk[-1]] * (pair_batch - len(chunk))
             pairs = [
                 (
                     load_cloud_pcd(
@@ -411,8 +409,11 @@ def run_batch_top_part_registration(
                     ),
                     m.angle_guess,
                 )
-                for m in padded
+                for m in chunk
             ]
+            # a short tail repeats its last LOADED pair to keep the compiled
+            # shape (re-loading per padded slot would re-read the same pcds)
+            pairs += [pairs[-1]] * (pair_batch - len(chunk))
             results = register_pairs(pairs, cfg, flat_cap=flat_cap, timer=timer,
                                      mesh=mesh)
             for m, (best, fine) in zip(chunk, results):

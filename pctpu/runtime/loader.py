@@ -24,7 +24,7 @@ def list_pcd_files(path: str) -> list[str]:
     names = [
         os.path.join(path, n)
         for n in os.listdir(path)
-        if n.rsplit(".", 1)[-1] == "pcd"
+        if n.endswith(".pcd")
     ]
     return sorted(names)
 
@@ -72,6 +72,18 @@ def batched_prefetch(
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
 
+    def _put(item) -> bool:
+        """Bounded put that keeps checking the stop flag: a consumer that
+        exits early (error/break) must not leave the producer blocked
+        forever in q.put holding batches of padded arrays."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for batch in batches:
@@ -80,11 +92,12 @@ def batched_prefetch(
                 names = list(batch) + [None] * (batch_size - len(batch))
                 payload = [load_fn(b) for b in batch]
                 payload += [payload[-1]] * (batch_size - len(batch))
-                q.put((names, payload))
+                if not _put((names, payload)):
+                    return
         except Exception as exc:  # surface loader errors on the consumer side
-            q.put(exc)
+            _put(exc)
         finally:
-            q.put(None)
+            _put(None)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()

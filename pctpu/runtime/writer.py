@@ -26,10 +26,12 @@ class AsyncWriter:
             task = self._q.get()
             if task is None:
                 return
+            if self._error is not None:
+                continue  # drain without executing: stop at the FIRST failure
             try:
                 task()
             except BaseException as exc:  # noqa: BLE001 — reported on close
-                self._error = exc
+                self._error = exc  # first failure wins; later tasks skipped
 
     def submit(self, task: Callable[[], None]) -> None:
         if self._error is not None:

@@ -59,6 +59,10 @@ def test_psum_metrics():
     mesh = make_mesh(n_data=8, n_points=1)
     total = psum_metrics(mesh)(np.arange(8, dtype=np.float32))
     assert float(np.asarray(total)) == 28.0
+    # replication along a 'points' axis must NOT multiply the total
+    mesh2 = make_mesh(n_data=4, n_points=2)
+    total2 = psum_metrics(mesh2)(np.arange(8, dtype=np.float32))
+    assert float(np.asarray(total2)) == 28.0
 
 
 def test_run_multi_bev_mesh_outputs_byte_identical(tmp_path):
