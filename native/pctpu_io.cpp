@@ -114,12 +114,19 @@ long pctpu_format_csv_f32(const float* data, int h, int w, int precision,
                           char* out, long out_cap) {
   char fmt[16];
   std::snprintf(fmt, sizeof(fmt), "%%.%dg", precision);
+  char tmp[64];
   long o = 0;
   for (int r = 0; r < h; ++r) {
     for (int c = 0; c < w; ++c) {
-      if (o + 32 > out_cap) return -1;
-      o += std::snprintf(out + o, out_cap - o, fmt,
-                         static_cast<double>(data[static_cast<long>(r) * w + c]));
+      // format into a local buffer first: snprintf returns the WOULD-BE
+      // length on truncation, so writing straight into `out` and advancing
+      // by the return value could push the separator writes past out_cap
+      int len = std::snprintf(tmp, sizeof(tmp), fmt,
+                              static_cast<double>(data[static_cast<long>(r) * w + c]));
+      if (len < 0 || len >= static_cast<int>(sizeof(tmp))) return -1;
+      if (o + len + 3 > out_cap) return -1;  // value + ", " or "\n"
+      std::memcpy(out + o, tmp, len);
+      o += len;
       if (c + 1 < w) {
         out[o++] = ',';
         out[o++] = ' ';

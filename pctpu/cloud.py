@@ -74,10 +74,13 @@ class Cloud:
         return self.xyz[..., 2]
 
     def valid_mask(self) -> jax.Array:
-        """Boolean mask of real (non-padding) points."""
+        """Boolean mask of real (non-padding) points.
+
+        Supports leading batch axes like the x/y/z properties: count's
+        batch dims broadcast against the point axis."""
         n = self.xyz.shape[-2]
         idx = jnp.arange(n)
-        return idx < self.count
+        return idx < jnp.asarray(self.count)[..., None]
 
     def replace(self, **kwargs: Any) -> "Cloud":
         return dataclasses.replace(self, **kwargs)

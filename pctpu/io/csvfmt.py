@@ -24,7 +24,15 @@ def _value_formatter(dtype: np.dtype, float_precision: int):
         return lambda v: "%d" % int(v)
     if dtype in (np.dtype(np.float32), np.dtype(np.float64)):
         fmt = f"%.{float_precision}g"
-        return lambda v: fmt % float(v)
+
+        def _fmt_float(v):
+            # glibc %g (what OpenCV used, and what the native path emits)
+            # prints sign-set NaNs as "-nan"; Python's % always says "nan"
+            if np.isnan(v) and np.signbit(v):
+                return "-nan"
+            return fmt % float(v)
+
+        return _fmt_float
     raise TypeError(f"unsupported dtype for FMT_CSV: {dtype}")
 
 

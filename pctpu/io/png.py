@@ -78,6 +78,11 @@ def write_rgb_png(path: str, img: np.ndarray, compress_level: int = 6) -> None:
 
 def decode_rgb_png(data: bytes) -> np.ndarray:
     """Decode a truecolor PNG produced by :func:`encode_rgb_png`."""
+    return _decode_filter0_png(data, color_type=2, channels=3)
+
+
+def _decode_filter0_png(data: bytes, color_type: int, channels: int) -> np.ndarray:
+    """Shared chunk walker for the two filter-0 decoders below."""
     if data[:8] != _PNG_SIGNATURE:
         raise ValueError("not a PNG")
     pos = 8
@@ -89,40 +94,28 @@ def decode_rgb_png(data: bytes) -> np.ndarray:
         payload = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
             w, h, depth, color = struct.unpack(">IIBB", payload[:10])
-            if depth != 8 or color != 2:
-                raise ValueError("only 8-bit truecolor supported")
+            if depth != 8 or color != color_type:
+                raise ValueError(
+                    f"only 8-bit color type {color_type} supported"
+                )
         elif tag == b"IDAT":
             idat += payload
         pos += 12 + length
-    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, 1 + w * 3)
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(
+        h, 1 + w * channels
+    )
     if np.any(raw[:, 0] != 0):
         raise ValueError("only filter-0 scanlines supported")
-    return raw[:, 1:].reshape(h, w, 3).copy()
+    out = raw[:, 1:]
+    if channels == 1:
+        return out.copy()
+    return out.reshape(h, w, channels).copy()
 
 
 def decode_gray_png(data: bytes) -> np.ndarray:
     """Decode an 8-bit grayscale PNG produced by :func:`encode_gray_png`
     (filter-0 scanlines only; used by round-trip tests and golden checks)."""
-    if data[:8] != _PNG_SIGNATURE:
-        raise ValueError("not a PNG")
-    pos = 8
-    w = h = None
-    idat = b""
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        if tag == b"IHDR":
-            w, h, depth, color = struct.unpack(">IIBB", payload[:10])
-            if depth != 8 or color != 0:
-                raise ValueError("only 8-bit grayscale supported")
-        elif tag == b"IDAT":
-            idat += payload
-        pos += 12 + length
-    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, w + 1)
-    if np.any(raw[:, 0] != 0):
-        raise ValueError("only filter-0 scanlines supported")
-    return raw[:, 1:].copy()
+    return _decode_filter0_png(data, color_type=0, channels=1)
 
 
 def read_gray_png(path: str) -> np.ndarray:

@@ -34,4 +34,7 @@ def eig2_sym_vector(sxx, sxy, syy, lam):
     use1 = jnp.abs(v1).sum(axis=-1) >= jnp.abs(v2).sum(axis=-1)
     v = jnp.where(use1[..., None], v1, v2)
     norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    return jnp.where(norm > 0, v / jnp.maximum(norm, 1e-30), jnp.array([1.0, 0.0]))
+    # guard threshold matches the clamp: 0 < norm < 1e-30 would divide by
+    # the clamped 1e-30 and return a far-from-unit vector instead of the
+    # +x fallback
+    return jnp.where(norm >= 1e-30, v / jnp.maximum(norm, 1e-30), jnp.array([1.0, 0.0]))

@@ -81,16 +81,26 @@ def knn(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """k-NN for small target sets (pose tables): full (Q, T) matrix + top_k.
 
-    Returns (indices (Q, k), squared distances (Q, k)) ascending.
+    Returns (indices (Q, k'), squared distances (Q, k')) ascending, with
+    k' = min(k, T) like pcl nearestKSearch (fewer targets than requested →
+    the available ones).  Winner distances are re-derived exactly from the
+    coordinates: the ||q||²−2qt+||t||² expansion carries ~|p|²·2⁻²⁴ absolute
+    error (can even go negative near self-matches), which matters when the
+    caller compares against thresholds like keyframe_interval².
     """
+    k = min(k, target.shape[0])
     d = (
         jnp.sum(query * query, axis=1, keepdims=True)
         - 2.0 * jnp.matmul(query, target.T, precision=_PREC)
         + jnp.where(target_mask, jnp.sum(target * target, axis=1), _INF)[None, :]
     )
     neg_d, idx = jax.lax.top_k(-d, k)
-    dist = jnp.where(query_mask[:, None], -neg_d, _INF)
-    return idx.astype(jnp.int32), dist
+    idx = idx.astype(jnp.int32)
+    diff = query[:, None, :] - target[idx]
+    exact = jnp.sum(diff * diff, axis=-1)
+    found = jnp.isfinite(-neg_d) & query_mask[:, None] & target_mask[idx]
+    dist = jnp.where(found, exact, _INF)
+    return idx, dist
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))

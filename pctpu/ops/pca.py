@@ -7,8 +7,6 @@ SelfAdjointEigenSolver (eigenvalues ascending, like Eigen/jnp.linalg.eigh).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -17,11 +15,17 @@ from pctpu.cloud import Cloud
 
 @jax.jit
 def pca_test_filter(cloud: Cloud) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """The demo's filter (/root/reference/main.cpp:60-74): keep z >= 0,
-    sqrt(x²+y²) <= 30, label > 0; flattened to z = 0."""
+    """The demo's filter (/root/reference/main.cpp:60-74): skip points with
+    z < 0 or sqrt(x²+y²) > 30 or label <= 0; flattened to z = 0.
+
+    Expressed as the NEGATED reject condition (not ``z >= 0 & rng <= 30``):
+    for NaN coordinates both reference comparisons are false, so the C++
+    keeps the point — the equivalent-looking keep-form would drop it."""
     rng = jnp.sqrt(cloud.x**2 + cloud.y**2)
     keep = (
-        (cloud.z >= 0.0) & (rng <= 30.0) & (cloud.label > 0) & cloud.valid_mask()
+        ~((cloud.z < 0.0) | (rng > 30.0))
+        & (cloud.label > 0)
+        & cloud.valid_mask()
     )
     xyz = jnp.where(keep[:, None], cloud.xyz, 0.0).at[:, 2].set(0.0)
     return xyz, keep
@@ -41,7 +45,7 @@ def pca3d(xyz: jnp.ndarray, mask: jnp.ndarray):
     return mu, vals, vecs
 
 
-@functools.partial(jax.jit)
+@jax.jit
 def pca_test(cloud: Cloud):
     xyz, keep = pca_test_filter(cloud)
     mu, vals, vecs = pca3d(xyz, keep)

@@ -6,6 +6,7 @@ one (N, 3) @ (3, 3) matmul + translation broadcast, batchable with vmap.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from pctpu.cloud import Cloud
@@ -13,8 +14,6 @@ from pctpu.cloud import Cloud
 
 def transform_xyz(xyz: jnp.ndarray, matrix4: jnp.ndarray) -> jnp.ndarray:
     """Apply a homogeneous 4x4 to (..., 3) points (float32, full precision)."""
-    import jax
-
     matrix4 = jnp.asarray(matrix4, jnp.float32)
     rotated = jnp.matmul(
         xyz, matrix4[:3, :3].T, precision=jax.lax.Precision.HIGHEST

@@ -79,3 +79,12 @@ def test_write_csv_bytes_round_trip(tmp_path):
     p = tmp_path / "m.csv"
     write_csv(str(p), m)
     assert p.read_text() == _generic_format(m)
+
+
+def test_negative_nan_matches_glibc():
+    """glibc %g (OpenCV's formatter) prints sign-set NaNs as '-nan'; the
+    Python fallback and the native path must agree."""
+    m = np.array([[np.float32("nan"), -np.float32("nan"), np.inf, -np.inf]],
+                 np.float32)
+    assert format_csv(m) == "nan, -nan, inf, -inf"
+    assert format_csv(m) == _generic_format(m)

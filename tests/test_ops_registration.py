@@ -229,3 +229,46 @@ def test_icp_too_few_correspondences_not_converged():
         np.eye(4, dtype=np.float32), cfg, nn_tile=128,
     )
     assert not bool(res.converged)
+
+
+def test_knn_k_exceeds_target_count_clamps():
+    """knn clamps k to the target count like pcl nearestKSearch."""
+    rng = np.random.default_rng(0)
+    q = rng.uniform(-5, 5, (4, 3)).astype(np.float32)
+    t = rng.uniform(-5, 5, (3, 3)).astype(np.float32)
+    idx, d2 = knn(q, np.ones(4, bool), t, np.ones(3, bool), k=10)
+    assert idx.shape == (4, 3) and d2.shape == (4, 3)
+    assert np.isfinite(np.asarray(d2)).all()
+
+
+def test_knn_exact_distances_far_from_origin():
+    """knn distances are re-derived exactly (the matmul expansion carries
+    ~|p|^2 * 2^-24 absolute error and can go negative for self-matches)."""
+    base = np.float32([300.0, -400.0, 20.0])
+    t = np.stack([base, base + np.float32([0.05, 0, 0]),
+                  base + np.float32([0, 2.0, 0])]).astype(np.float32)
+    q = t[:1]
+    idx, d2 = knn(q, np.ones(1, bool), t, np.ones(3, bool), k=3)
+    d2 = np.asarray(d2)[0]
+    assert (d2 >= 0).all()
+    # the exact coordinate differences (t was built by f32 adds at |p|~500,
+    # so 0.05 is itself rounded by ~1 ulp of 300)
+    expect = ((t - t[0]) ** 2).sum(1)
+    np.testing.assert_allclose(sorted(d2), sorted(expect), rtol=0, atol=0)
+
+
+def test_valid_mask_batched():
+    from pctpu.cloud import Cloud
+
+    import jax.numpy as jnp
+
+    c = Cloud(
+        xyz=jnp.zeros((2, 5, 3)), intensity=jnp.zeros((2, 5)),
+        row=jnp.zeros((2, 5), jnp.int32), col=jnp.zeros((2, 5), jnp.int32),
+        t=jnp.zeros((2, 5), jnp.uint32), label=jnp.zeros((2, 5), jnp.int32),
+        count=jnp.array([2, 4], jnp.int32),
+    )
+    m = np.asarray(c.valid_mask())
+    assert m.shape == (2, 5)
+    np.testing.assert_array_equal(m[0], [True, True, False, False, False])
+    np.testing.assert_array_equal(m[1], [True, True, True, True, False])

@@ -65,3 +65,21 @@ def test_pca_test_matches_reference_semantics():
     cov_ref = (d.T @ d) / len(flat)
     np.testing.assert_allclose(np.asarray(mu), mu_ref, atol=1e-4)
     np.testing.assert_allclose(np.sort(vals), np.sort(np.linalg.eigvalsh(cov_ref)), rtol=1e-3, atol=1e-4)
+
+
+def test_pca_filter_keeps_nan_points_like_reference():
+    """main.cpp:66 skips on (z < 0 || range > 30): NaN coordinates fail both
+    comparisons, so the C++ KEEPS such points; the filter must match."""
+    import numpy as np
+
+    from pctpu.cloud import make_cloud
+    from pctpu.ops.pca import pca_test_filter
+
+    xyz = np.array([[1.0, 1.0, np.nan], [np.nan, 1.0, 2.0],
+                    [1.0, 1.0, 1.0], [-1.0, 1.0, -0.5], [40.0, 0.0, 1.0]],
+                   np.float32)
+    c = make_cloud(xyz, label=np.ones(5, np.int32))
+    _, keep = pca_test_filter(c)
+    keep = np.asarray(keep)
+    assert keep[0] and keep[1] and keep[2]   # NaN z / NaN range kept
+    assert not keep[3] and not keep[4]        # z<0 / range>30 rejected
