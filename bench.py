@@ -32,12 +32,20 @@ def measure_baseline() -> float:
     """Single-core C++ ms/cloud (same algorithm, per-point loops)."""
     exe = os.path.join(REPO, "native", "baseline_bev")
     src = os.path.join(REPO, "native", "baseline_bev.cpp")
-    if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+    stale = os.path.exists(src) and (
+        not os.path.exists(exe)
+        or os.path.getmtime(exe) < os.path.getmtime(src)
+    )
+    if stale:
+        # atomic publish (see runtime/native_io.py): parallel bench runs
+        # must not exec a half-written binary
+        tmp = f"{exe}.build.{os.getpid()}"
         subprocess.run(
-            ["g++", "-O2", "-std=c++14", "-o", exe, src],
+            ["g++", "-O2", "-std=c++14", "-o", tmp, src],
             check=True,
             cwd=REPO,
         )
+        os.replace(tmp, exe)
     # best of 3 to resist host-load noise (single shared CPU core)
     best = float("inf")
     for _ in range(3):
@@ -184,10 +192,6 @@ def measure_tpu(ordered: bool = True, sensor: str = "HDL_64E",
 
 def measure_registration() -> float:
     """Fused two-stage registration pairs/sec on 65k-point synthetic scenes."""
-    import time as _time
-
-    import numpy as np
-
     from pctpu.cloud import make_cloud
     from pctpu.pipelines.registration import register_pair
 
@@ -236,9 +240,9 @@ def measure_registration() -> float:
 
     register_pairs(batch(1), flat_cap=16384)  # compile
     timed = batch(100)
-    t0 = _time.perf_counter()
+    t0 = time.perf_counter()
     register_pairs(timed, flat_cap=16384)
-    return n_pairs / (_time.perf_counter() - t0)
+    return n_pairs / (time.perf_counter() - t0)
 
 
 def main() -> int:

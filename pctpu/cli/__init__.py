@@ -1,4 +1,4 @@
-"""The eight reference-compatible CLI entry points (SURVEY.md §2.3).
+"""The ten reference-compatible CLI entry points (SURVEY.md §2.3).
 
 Each module's argv contract matches the corresponding reference binary:
 

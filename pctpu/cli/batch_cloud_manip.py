@@ -13,7 +13,7 @@ def main(argv=None) -> int:
         usage_exit("Usage: batch_cloud_manip <keyframes_root_dir>")
     run_batch_cloud_manip(
         pos[0],
-        batch_size=int(kw.get("batch_size", "8")),
+        batch_size=int_kw(kw, "batch_size", 8),
         resume=kw.get("resume", "false") == "true",
     )
     return 0

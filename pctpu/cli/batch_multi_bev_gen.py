@@ -3,7 +3,7 @@
 
 import sys
 
-from pctpu.cli._common import split_args, usage_exit
+from pctpu.cli._common import int_kw, path_kw, split_args, usage_exit
 from pctpu.pipelines.multi_bev import run_multi_bev
 
 USAGE = """\
@@ -33,8 +33,8 @@ def main(argv=None) -> int:
     pos, kw = split_args(sys.argv[1:] if argv is None else argv)
     if len(pos) < 2:
         usage_exit(USAGE)
-    nproc = int(kw["num_processes"]) if "num_processes" in kw else None
-    pid = int(kw["process_id"]) if "process_id" in kw else None
+    nproc = int_kw(kw, "num_processes", None)
+    pid = int_kw(kw, "process_id", None)
     if nproc is not None and nproc > 1 and "coordinator" in kw:
         from pctpu.parallel.distributed import initialize
 
@@ -42,14 +42,15 @@ def main(argv=None) -> int:
     from pctpu.runtime.profiler import trace
 
     with trace("batch_multi_bev_gen", enabled="profile" in kw,
-               trace_dir=kw.get("profile", "/tmp/pctpu-trace")):
+               trace_dir=path_kw(kw, "profile", "/tmp/pctpu-trace")
+               or "/tmp/pctpu-trace"):
         run_multi_bev(
             pos[0],
             pos[1],
-            batch_size=int(kw.get("batch_size", "8")),
+            batch_size=int_kw(kw, "batch_size", 8),
             resume=kw.get("resume", "false") == "true",
             write_pngs=kw.get("no_pngs", "false") != "true",
-            devices=int(kw["devices"]) if "devices" in kw else None,
+            devices=int_kw(kw, "devices", None),
             process_id=pid,
             num_processes=nproc,
         )

@@ -4,7 +4,7 @@
 
 import sys
 
-from pctpu.cli._common import split_args, usage_exit
+from pctpu.cli._common import int_kw, split_args, usage_exit
 from pctpu.pipelines.registration import run_batch_top_part_registration
 
 
@@ -14,9 +14,8 @@ def main(argv=None) -> int:
         usage_exit(
             "Usage: batch_top_part_registration <match_result.txt> <point_cloud_dir>"
         )
-    capacity = kw.get("capacity")
-    nproc = int(kw["num_processes"]) if "num_processes" in kw else None
-    pid = int(kw["process_id"]) if "process_id" in kw else None
+    nproc = int_kw(kw, "num_processes", None)
+    pid = int_kw(kw, "process_id", None)
     if nproc is not None and nproc > 1 and "coordinator" in kw:
         from pctpu.parallel.distributed import initialize
 
@@ -25,10 +24,10 @@ def main(argv=None) -> int:
         pos[0],
         pos[1],
         report_path=kw.get("report", "./icp_precision_report.txt"),
-        flat_cap=int(kw.get("flat_cap", "32768")),
-        capacity=int(capacity) if capacity else None,
-        pair_batch=int(kw.get("pair_batch", "1")),
-        devices=int(kw["devices"]) if "devices" in kw else None,
+        flat_cap=int_kw(kw, "flat_cap", 32768),
+        capacity=int_kw(kw, "capacity", None),
+        pair_batch=int_kw(kw, "pair_batch", 1),
+        devices=int_kw(kw, "devices", None),
         process_id=pid,
         num_processes=nproc,
     )

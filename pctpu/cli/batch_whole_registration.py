@@ -3,7 +3,7 @@
 
 import sys
 
-from pctpu.cli._common import split_args, usage_exit
+from pctpu.cli._common import int_kw, split_args, usage_exit
 from pctpu.pipelines.registration import run_batch_whole_registration
 
 
@@ -13,18 +13,17 @@ def main(argv=None) -> int:
         usage_exit(
             "Usage: batch_whole_registration <match_result.txt> <point_cloud_dir>"
         )
-    nproc = int(kw["num_processes"]) if "num_processes" in kw else None
-    pid = int(kw["process_id"]) if "process_id" in kw else None
+    nproc = int_kw(kw, "num_processes", None)
+    pid = int_kw(kw, "process_id", None)
     if nproc is not None and nproc > 1 and "coordinator" in kw:
         from pctpu.parallel.distributed import initialize
 
         initialize(kw["coordinator"], nproc, pid)
-    capacity = kw.get("capacity")
     run_batch_whole_registration(
         pos[0],
         pos[1],
         report_path=kw.get("report", "./icp_precision_report_3d_icp_directly.txt"),
-        capacity=int(capacity) if capacity else None,
+        capacity=int_kw(kw, "capacity", None),
         process_id=pid,
         num_processes=nproc,
     )

@@ -6,7 +6,7 @@ CloudManip.cpp:143-158); ``--snapshot-view=front`` for the elevation view."""
 import math
 import sys
 
-from pctpu.cli._common import split_args, usage_exit
+from pctpu.cli._common import path_kw, split_args, usage_exit
 from pctpu.pipelines.cloud_manip import run_cloud_manip
 
 
@@ -22,7 +22,7 @@ def main(argv=None) -> int:
         float(pos[3]),
         float(pos[4]),
         output_dir=kw.get("output_dir", "."),
-        snapshot=kw.get("snapshot"),
+        snapshot=path_kw(kw, "snapshot"),
         snapshot_view=kw.get("snapshot_view", "top"),
     )
     return 0

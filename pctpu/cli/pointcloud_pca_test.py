@@ -8,7 +8,7 @@ import sys
 
 import numpy as np
 
-from pctpu.cli._common import split_args, usage_exit
+from pctpu.cli._common import path_kw, split_args, usage_exit
 from pctpu.io.pcd import load_cloud_pcd
 from pctpu.ops.pca import pca3d, pca_test_filter
 
@@ -26,7 +26,8 @@ def main(argv=None) -> int:
     print(np.asarray(vals))
     print(np.asarray(vecs))
 
-    if kw.get("snapshot"):
+    snapshot = path_kw(kw, "snapshot")
+    if snapshot:
         from pctpu.io.png import write_rgb_png
         from pctpu.ops.render import Layer, render_snapshot, segment_points
 
@@ -44,7 +45,7 @@ def main(argv=None) -> int:
             layers, view=kw.get("snapshot_view", "top"),
             background=(255, 255, 255),
         )
-        write_rgb_png(kw["snapshot"], img)
+        write_rgb_png(snapshot, img)
     return 0
 
 

@@ -10,7 +10,7 @@ import sys
 
 import numpy as np
 
-from pctpu.cli._common import split_args, usage_exit
+from pctpu.cli._common import int_kw, path_kw, split_args, usage_exit
 from pctpu.io.pcd import load_cloud_pcd
 from pctpu.pipelines.registration import register_pair
 from pctpu.runtime.profiler import StageTimer
@@ -26,7 +26,7 @@ def main(argv=None) -> int:
     timer = StageTimer()
     best, fine = register_pair(
         c1, c2, float(pos[2]),
-        flat_cap=int(kw.get("flat_cap", "32768")),
+        flat_cap=int_kw(kw, "flat_cap", 32768),
         timer=timer,
     )
     log.info(f"[TIME] 1st stage (top extraction + normals + coarse ICP x2): "
@@ -41,7 +41,8 @@ def main(argv=None) -> int:
         f"{float(fine.fitness)}, trans: \n{np.asarray(fine.transform)}. "
     )
 
-    if kw.get("snapshot"):
+    snapshot = path_kw(kw, "snapshot")
+    if snapshot:
         from pctpu.config import RegistrationConfig
         from pctpu.io.png import write_rgb_png
         from pctpu.ops.normals2d import normals_2d
@@ -53,7 +54,7 @@ def main(argv=None) -> int:
         # flat_cap mirrors _stage_flat so the scene matches what the
         # registration actually consumed
         cfg = RegistrationConfig()
-        cap = int(kw.get("flat_cap", "32768"))
+        cap = int_kw(kw, "flat_cap", 32768)
         fx, fm, _ = extract_top_and_flatten(c1)
         vx, vm, _ = voxel_downsample(fx[:cap], fm[:cap], cfg.voxel_leaf)
         nrm, _, n_ok = normals_2d(vx, vm, radius=cfg.normal_radius)
@@ -72,7 +73,7 @@ def main(argv=None) -> int:
             view=kw.get("snapshot_view", "top"),
             background=(0, 0, 0),
         )
-        write_rgb_png(kw["snapshot"], img)
+        write_rgb_png(snapshot, img)
     return 0
 
 

@@ -122,6 +122,7 @@ def run_batch_cloud_manip(
                     )
 
     avg = timer.average_ms("bev")
-    log.info(f"[TIME] Average preprocessing and BEV generation: {avg}")
+    log.info(timer.report_average("bev",
+                                  "Average preprocessing and BEV generation"))
     log.info("Done. ")
     return avg

@@ -266,7 +266,8 @@ def run_multi_bev(
                     done += 1
 
     avg = timer.average_ms("preprocess+bev")
-    log.info(f"[TIME] Average preprocessing and BEV generation: {avg}")
+    log.info(timer.report_average("preprocess+bev",
+                                  "Average preprocessing and BEV generation"))
 
     # Step 2: major frames + labels (/root/reference/BatchMultiBevGen.cpp:761-765)
     # — a global computation over ALL keyframe poses; host 0 only

@@ -34,11 +34,16 @@ def _load() -> ctypes.CDLL | None:
                 os.path.exists(_SRC)
                 and os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
             ):
+                # build to a temp name and rename: concurrent processes
+                # (multi-host shards, parallel CLIs) must never dlopen a
+                # half-written .so — rename is atomic on POSIX
+                tmp = f"{_LIB}.build.{os.getpid()}"
                 subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC, "-lz"],
+                    ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC, "-lz"],
                     check=True,
                     capture_output=True,
                 )
+                os.replace(tmp, _LIB)
             lib = ctypes.CDLL(_LIB)
             lib.pctpu_write_png.argtypes = [
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
