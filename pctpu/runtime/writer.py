@@ -1,5 +1,5 @@
-"""Asynchronous writeback: a background thread drains output tasks so the
-device loop never blocks on disk.
+"""Asynchronous writeback: a pool of background threads drains output tasks
+so the device loop never blocks on disk.
 
 The reference writes every artifact synchronously inside its timed hot loop
 (/root/reference/BatchMultiBevGen.cpp:294-320).  Here the device produces the
@@ -15,11 +15,26 @@ from typing import Callable
 
 
 class AsyncWriter:
-    def __init__(self, max_pending: int = 4) -> None:
+    """Pool of writer threads draining output tasks.
+
+    Multiple workers matter in production: at ~700 clouds/s of device
+    throughput, a single thread cannot keep up with per-cloud encoding (24
+    PNG deflates + csv + pcd pack); the native writers and file IO release
+    the GIL, so worker threads genuinely parallelize.  Per-cloud outputs are
+    disjoint files, so completion order is irrelevant.  The first failure
+    wins: later tasks are skipped and the error re-raises on close/submit.
+    """
+
+    def __init__(self, max_pending: int = 8, workers: int = 2) -> None:
         self._q: queue.Queue = queue.Queue(maxsize=max_pending)
         self._error: BaseException | None = None
-        self._thread = threading.Thread(target=self._run, daemon=True)
-        self._thread.start()
+        self._err_lock = threading.Lock()
+        self._threads = [
+            threading.Thread(target=self._run, daemon=True)
+            for _ in range(max(workers, 1))
+        ]
+        for t in self._threads:
+            t.start()
 
     def _run(self) -> None:
         while True:
@@ -31,7 +46,9 @@ class AsyncWriter:
             try:
                 task()
             except BaseException as exc:  # noqa: BLE001 — reported on close
-                self._error = exc  # first failure wins; later tasks skipped
+                with self._err_lock:
+                    if self._error is None:
+                        self._error = exc  # first failure wins
 
     def submit(self, task: Callable[[], None]) -> None:
         if self._error is not None:
@@ -39,8 +56,10 @@ class AsyncWriter:
         self._q.put(task)
 
     def close(self) -> None:
-        self._q.put(None)
-        self._thread.join()
+        for _ in self._threads:
+            self._q.put(None)
+        for t in self._threads:
+            t.join()
         if self._error is not None:
             raise RuntimeError("async writer failed") from self._error
 
