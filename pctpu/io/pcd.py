@@ -193,7 +193,9 @@ def read_pcd(path: str) -> tuple[dict[str, np.ndarray], dict]:
     header: dict[str, object] = {}
     pos = 0
     while True:
-        eol = blob.index(b"\n", pos)
+        eol = blob.find(b"\n", pos)
+        if eol < 0:
+            raise ValueError(f"corrupt PCD (no DATA line in header): {path}")
         line = blob[pos:eol].decode("ascii", "replace").strip()
         pos = eol + 1
         if line.startswith("#") or not line:
@@ -216,6 +218,12 @@ def read_pcd(path: str) -> tuple[dict[str, np.ndarray], dict]:
 
     mode = str(header["DATA"])
     if mode == "binary":
+        if len(blob) - pos < n * dtype.itemsize:
+            raise ValueError(
+                f"truncated PCD: header declares {n} points "
+                f"({n * dtype.itemsize} bytes) but the body holds "
+                f"{len(blob) - pos}: {path}"
+            )
         rec = np.frombuffer(blob, dtype, count=n, offset=pos)
     elif mode == "ascii":
         text = blob[pos:].decode("ascii")

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from pctpu.cloud import make_cloud
 from pctpu.io.pcd import (
@@ -196,3 +197,33 @@ def test_ascii_float64_round_trip(tmp_path):
               binary=False)
     out, _ = read_pcd(str(p))
     np.testing.assert_array_equal(out["d"], v)
+
+
+def test_corrupt_pcd_inputs_raise_cleanly(tmp_path):
+    """Failure handling (SURVEY §5.3): corrupt inputs raise ValueError with
+    an explanatory message instead of silently returning garbage."""
+    from pctpu.cloud import make_cloud
+    from pctpu.io.pcd import read_pcd, save_cloud_pcd
+
+    good = tmp_path / "a.pcd"
+    save_cloud_pcd(str(good), make_cloud(np.random.rand(10, 3).astype(np.float32)))
+    raw = good.read_bytes()
+
+    trunc = tmp_path / "trunc.pcd"
+    trunc.write_bytes(raw[:-50])
+    with pytest.raises(ValueError, match="truncated PCD"):
+        read_pcd(str(trunc))
+
+    garb = tmp_path / "garb.pcd"
+    garb.write_bytes(b"not a pcd at all" * 3)
+    with pytest.raises(ValueError, match="corrupt PCD"):
+        read_pcd(str(garb))
+
+    over = tmp_path / "overclaim.pcd"
+    hdr_end = raw.index(b"DATA binary\n") + len(b"DATA binary\n")
+    hdr = raw[:hdr_end].replace(b"POINTS 10", b"POINTS 999").replace(
+        b"WIDTH 10", b"WIDTH 999"
+    )
+    over.write_bytes(hdr + raw[hdr_end:])
+    with pytest.raises(ValueError, match="truncated PCD"):
+        read_pcd(str(over))
