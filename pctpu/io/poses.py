@@ -12,6 +12,8 @@ from the file but re-derived through the custom euler extraction.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 
 from pctpu.geom.se3 import Pose6f
@@ -54,6 +56,11 @@ def read_keyframe_poses(path: str) -> list[tuple[int, Pose6f]]:
         for tok in f.read().split():
             fields = tok.split(",")
             if len(fields) != 16:
+                # reference prints this to stderr then stops the scan (:415-419)
+                print(
+                    f"Size of entry_token is: {len(fields)}, while expecting 16. ",
+                    file=sys.stderr,
+                )
                 break
             cloud_idx = int(fields[0])
             t = np.array([float(fields[1]), float(fields[2]), float(fields[3])], np.float64)

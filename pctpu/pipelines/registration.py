@@ -47,12 +47,23 @@ class MatchResult:
 
 
 def load_match_results(path: str) -> list[MatchResult]:
+    """Parse match_result.txt (``query_idx match_idx yaw_guess`` per row,
+    /root/reference/BatchTopPartRegistration.cpp:250-272).
+
+    Documented divergence: the reference's unchecked ``ss >>`` extraction
+    pushes an *uninitialized* MatchResult for empty or short rows (UB,
+    unreproducible); pctpu skips empty lines and raises on short ones."""
     matches = []
     with open(path) as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             tok = line.split()
             if not tok:
                 continue
+            if len(tok) < 3:
+                raise ValueError(
+                    f"malformed match_result line {lineno}: {line.strip()!r} "
+                    "(want 'query_idx match_idx yaw_guess')"
+                )
             matches.append(MatchResult(int(tok[0]), int(tok[1]), float(tok[2])))
     return matches
 

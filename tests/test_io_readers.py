@@ -138,3 +138,31 @@ def test_mulran_pose_csv(tmp_path):
     np.testing.assert_array_equal(stamps, [100, 200])
     np.testing.assert_allclose(mats[0][:3, 3], [1, 2, 3])
     np.testing.assert_allclose(mats[1][:3, 3], [5, 6, 7])
+
+
+def test_pose_csv_short_row_stops_scan_with_message(tmp_path, capsys):
+    """readKeyframePose parity: a row with != 16 tokens prints the reference's
+    stderr message and stops the scan (BatchMultiBevGen.cpp:415-419)."""
+    from pctpu.io.poses import read_keyframe_poses
+
+    p = tmp_path / "keyframe_pose.csv"
+    good = ("000000,1.0,2.0,3.0,0,0,0,"
+            "1.0,0.0,0.0,0.0,1.0,0.0,0.0,0.0,1.0\n")
+    p.write_text(good + "000001,1.0,2.0\n" + good)
+    entries = read_keyframe_poses(str(p))
+    assert len(entries) == 1  # scan stopped at the malformed row
+    assert "while expecting 16" in capsys.readouterr().err
+
+
+def test_match_results_short_row_raises(tmp_path):
+    from pctpu.pipelines.registration import load_match_results
+
+    p = tmp_path / "match_result.txt"
+    p.write_text("0 1 10.0\n\n1 2\n")
+    try:
+        load_match_results(str(p))
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "line 3" in str(e)
+    p.write_text("0 1 10.0\n\n2 3 20.0\n")  # empty lines skipped
+    assert len(load_match_results(str(p))) == 2
