@@ -181,3 +181,32 @@ def test_pair_batched_driver_matches_sequential(tmp_path):
     for a, b in zip(seq, bat):
         if a.success:
             np.testing.assert_allclose(a.transform_fine, b.transform_fine, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_registration_precision_sweep():
+    """North-star fidelity evidence: across many synthetic scenes with known
+    ground-truth transforms, the recovered yaw stays well under the 0.5 deg
+    target and translation under 10 cm (p100 over the sweep)."""
+    yaw_errs, t_errs = [], []
+    for seed in range(20):
+        rng = np.random.default_rng(500 + seed)
+        xyz, labels = synth_scene(rng)
+        true_yaw = float(rng.uniform(-60, 60))
+        tx, ty = rng.uniform(-3, 3, 2)
+        xyz2 = rigid(xyz, true_yaw, [tx, ty, 0.0]) + rng.normal(
+            0, 0.01, xyz.shape
+        ).astype(np.float32)
+        c1 = make_cloud(xyz, label=labels, capacity=4096)
+        c2 = make_cloud(xyz2, label=labels, capacity=4096)
+        guess = true_yaw + float(rng.uniform(-8, 8))
+        best, fine = register_pair(c1, c2, angle_guess_deg=guess, flat_cap=4096)
+        if float(fine.fitness) > 1.5:
+            continue  # reference-classified failure: excluded like the C++
+        t_fine = np.asarray(fine.transform)
+        yaw = math.degrees(math.atan2(t_fine[1, 0], t_fine[0, 0]))
+        yaw_errs.append(abs(yaw - true_yaw))
+        t_errs.append(float(np.hypot(t_fine[0, 3] - tx, t_fine[1, 3] - ty)))
+    assert len(yaw_errs) >= 16, f"only {len(yaw_errs)} pairs classified success"
+    assert max(yaw_errs) < 0.5, (max(yaw_errs), sorted(yaw_errs)[-3:])
+    assert max(t_errs) < 0.10, (max(t_errs), sorted(t_errs)[-3:])
