@@ -182,6 +182,17 @@ def _lzf_decompress(data: bytes, expected_size: int) -> bytes:
     return bytes(out)
 
 
+def read_pcd_point_count(path: str) -> int:
+    """POINTS from the PCD header only (no body parse/decompress)."""
+    with open(path, "rb") as fh:
+        head = fh.read(4096)
+    for raw in head.split(b"\n"):
+        line = raw.decode("ascii", "replace").strip()
+        if line.startswith("POINTS "):
+            return int(line.split()[1])
+    raise ValueError(f"corrupt PCD (no POINTS line in header): {path}")
+
+
 def read_pcd(path: str) -> tuple[dict[str, np.ndarray], dict]:
     """Read a PCD file (binary or ascii).
 

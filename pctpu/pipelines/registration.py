@@ -345,6 +345,22 @@ def _rotmat_to_euler_f32(r: np.ndarray) -> np.ndarray:
     )
 
 
+def _auto_capacity(matches: list[MatchResult], point_cloud_dir: str,
+                   step: int = 8192) -> int:
+    """Shared cloud capacity for pair batching: the max POINTS over every
+    cloud referenced by the match list (header-only reads), rounded up to a
+    ``step`` multiple for stable compilation buckets."""
+    from pctpu.io.pcd import read_pcd_point_count
+
+    idxs = {m.query_idx for m in matches} | {m.match_idx for m in matches}
+    biggest = max(
+        (read_pcd_point_count(os.path.join(point_cloud_dir, f"{i:06d}.pcd"))
+         for i in idxs),
+        default=1,
+    )
+    return max(-(-biggest // step) * step, step)
+
+
 def run_batch_top_part_registration(
     match_results_filename: str,
     point_cloud_dir: str,
@@ -389,7 +405,10 @@ def run_batch_top_part_registration(
     count_success = 0
     count_failure = 0
     if pair_batch > 1 and capacity is None:
-        raise ValueError("pair_batch > 1 requires an explicit cloud capacity")
+        # derive a shared capacity from the PCD headers (header-only reads):
+        # all clouds in a batch must share one padded shape
+        capacity = _auto_capacity(matches, point_cloud_dir)
+        log.info(f"pair_batch capacity auto-derived from headers: {capacity}")
 
     def result_stream():
         """Yield (match, best, fine) — sequentially or pair-batched."""

@@ -210,3 +210,27 @@ def test_registration_precision_sweep():
     assert len(yaw_errs) >= 16, f"only {len(yaw_errs)} pairs classified success"
     assert max(yaw_errs) < 0.5, (max(yaw_errs), sorted(yaw_errs)[-3:])
     assert max(t_errs) < 0.10, (max(t_errs), sorted(t_errs)[-3:])
+
+
+@pytest.mark.slow
+def test_pair_batch_auto_capacity(tmp_path):
+    """pair_batch without an explicit capacity derives one from PCD headers."""
+    from pctpu.pipelines.registration import run_batch_top_part_registration
+
+    rng = np.random.default_rng(11)
+    xyz, labels = synth_scene(rng)
+    cloud_dir = tmp_path / "clouds"
+    cloud_dir.mkdir()
+    save_cloud_pcd = __import__("pctpu.io.pcd", fromlist=["save_cloud_pcd"]).save_cloud_pcd
+    save_cloud_pcd(str(cloud_dir / "000000.pcd"),
+                   make_cloud(xyz, label=labels, capacity=4096))
+    save_cloud_pcd(str(cloud_dir / "000001.pcd"),
+                   make_cloud(rigid(xyz, 12.0, [1.0, 0.0, 0.0]), label=labels,
+                              capacity=4096))
+    mf = tmp_path / "match_result.txt"
+    mf.write_text("0 1 12.0\n1 0 -12.0\n")
+    reports = run_batch_top_part_registration(
+        str(mf), str(cloud_dir), flat_cap=4096, pair_batch=2,
+        report_path=str(tmp_path / "r.txt"),
+    )
+    assert len(reports) == 2 and all(r.success for r in reports)
