@@ -112,3 +112,35 @@ def test_fuzz_all_sensor_presets_one_seed():
         np.testing.assert_array_equal(
             np.asarray(fs), ref_impl.single_bev_ref(ref_cloud), err_msg=sensor
         )
+
+
+@pytest.mark.slow
+def test_fuzz_voxel_topflatten_sweep():
+    """Broader seed sweep for the registration prep ops vs their oracles."""
+    from tests.test_ops_registration import scene_cloud, to_cloud
+
+    from pctpu.ops.topflatten import extract_top_and_flatten
+    from pctpu.ops.voxel import voxel_downsample
+
+    for seed in range(8):
+        rng = np.random.default_rng(300 + seed)
+        pts = rng.uniform(-60, 60, (700, 3)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-2, 10, 700).astype(np.float32)
+        ref = ref_impl.voxel_ref(pts, 0.2)
+        out, valid, count = voxel_downsample(pts, np.ones(700, bool), 0.2)
+        assert int(count) == len(ref), seed
+        np.testing.assert_allclose(np.asarray(out)[: int(count)], ref,
+                                   atol=1e-5, err_msg=str(seed))
+
+        cloud_pts = scene_cloud(rng)
+        ref_flat = np.asarray(ref_impl.top_flatten_ref(cloud_pts),
+                              np.float32).reshape(-1, 3)
+        xyz, mask, cnt = extract_top_and_flatten(to_cloud(cloud_pts, capacity=1024))
+        got = np.asarray(xyz)[np.asarray(mask)]
+        assert int(cnt) == len(ref_flat), seed
+
+        def lexsorted(a):
+            return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
+
+        np.testing.assert_array_equal(lexsorted(got), lexsorted(ref_flat),
+                                      err_msg=str(seed))
