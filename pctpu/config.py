@@ -94,6 +94,17 @@ class GroundConfig:
     count_epsilon: float = 0.01
     rooftop_margin: float = 0.30
 
+    def __post_init__(self):
+        # the C++ hardcodes the 2 m cell; the f32-add + f32-divide grid
+        # indexing (ops/ground.py::_belonging_grid) equals its f64 division
+        # only for power-of-two cell sizes
+        if not (self.cell_size > 0 and math.log2(self.cell_size).is_integer()):
+            raise ValueError(
+                "GroundConfig.cell_size must be a power of two: the "
+                "reference's f32/f64 grid-index identity (and the C++ "
+                "constant 2.0) only hold for power-of-two cells"
+            )
+
 
 @dataclasses.dataclass(frozen=True)
 class MultiBevConfig:
@@ -117,6 +128,16 @@ class SingleBevConfig:
     interval: float = 1.0
     lidar_to_ground_height: float = 2.0  # metres here (cpp :345)
     height_scale: float = 4.0
+
+    def __post_init__(self):
+        # the C++ multiplies by the double constant 4.0; the all-f32 chain in
+        # ops/bev.py is bit-exact only for power-of-two scales
+        if not (self.height_scale > 0
+                and math.log2(self.height_scale).is_integer()):
+            raise ValueError(
+                "SingleBevConfig.height_scale must be a power of two for the "
+                "reference's f32/f64 height identity (the C++ hardcodes 4.0)"
+            )
 
     @property
     def mat_size(self) -> int:

@@ -216,13 +216,24 @@ def mark_ground(
     nsec = cfg.grid_rows * cfg.grid_cols
     gmask = ground_sw.astype(jnp.float32)
     pairs = jnp.stack([jnp.where(ground_sw, z_sw, 0.0), gmask], axis=1)
-    sums = jnp.zeros((nsec, 2), jnp.float32).at[sector].add(pairs)
-    avg = (sums[:, 0] / (sums[:, 1] + cfg.count_epsilon)).reshape(
-        cfg.grid_rows, cfg.grid_cols
+    # the count accumulator starts AT the 0.01 epsilon (cv::Mat init, :135-136)
+    # and increments per point — (((0.01+1)+1)+…) rounds differently from
+    # exact_count + 0.01 once counts reach 32, so initializing the scatter
+    # target reproduces the C++ f32 rounding sequence bit-for-bit
+    init = jnp.zeros((nsec, 2), jnp.float32).at[:, 1].set(
+        jnp.float32(cfg.count_epsilon)
     )
+    sums = init.at[sector].add(pairs)
+    avg = (sums[:, 0] / sums[:, 1]).reshape(cfg.grid_rows, cfg.grid_cols)
 
     # --- pass 3: rooftop veto (min valid-neighbor average) + labels --------
     big = jnp.float32(jnp.finfo(jnp.float32).max)
+    # corrupt-input guard: a ±inf average (overflowed sector sum) would turn
+    # the one-hot lookup's 0·inf products into NaN for EVERY query.  Mapping
+    # NaN→+big (never vetoes, like the C++ `NaN > 0.3` = false) and ±inf→±big
+    # (saturated subtraction keeps the veto decision) reproduces the per-
+    # neighbor C++ comparisons (:227-241) without cloud-wide poisoning.
+    avg = jnp.nan_to_num(avg, nan=big, posinf=big, neginf=-big)
     padded = jnp.pad(avg, 1, constant_values=big)
     # setNeighbors order (:73-84) is irrelevant under the min formulation
     nbr_min = jnp.minimum(

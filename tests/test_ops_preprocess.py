@@ -444,6 +444,63 @@ def test_ground_marking_custom_margin_matches_oracle(seed):
     np.testing.assert_array_equal(np.asarray(labeled.label), ref_labels)
 
 
+def test_count_epsilon_accumulation_order_knife_edge():
+    """The C++ count accumulator STARTS at 0.01 and increments per point, so
+    for ≥32 points the denominator differs by 1 ulp from exact_count + 0.01.
+    This scene is engineered so that 1 ulp flips a rooftop veto: 32 ground
+    points at z=1.0013 in one 2 m sector (33 slots are laid out, but the
+    boundary cell (15,16) has no valid pair and never marks), and a
+    neighbor-sector ground point at z=1.3009875 that is vetoed under the
+    sequential order but kept under the post-hoc epsilon (exhaustive f32
+    search)."""
+    v = np.float32(1.0013)
+    z_knife = np.float32(1.3009875)
+
+    # confirm the engineered flip still holds for these exact constants
+    acc = np.float32(0.01)
+    s = np.float32(0.0)
+    for _ in range(32):
+        acc = np.float32(acc + np.float32(1.0))
+        s = np.float32(s + v)
+    avg_seq = np.float32(s / acc)
+    avg_post = np.float32(s / np.float32(np.float32(32) + np.float32(0.01)))
+    thr = np.float32(0.30)  # f32(0.30) > 0.30 in f64 → d0 = f32(0.30)
+    assert (np.float32(z_knife - avg_seq) >= thr) != (
+        np.float32(z_knife - avg_post) >= thr
+    ), "search invariant broke; re-derive constants"
+
+    pts = []
+    # 33 points in sector (38, 25): x=1.5, y=1.0; rows 14/15 so the pair
+    # slope test (dz=0) marks them all ground
+    slots = [(15, c) for c in range(17)] + [(14, c) for c in range(16)]
+    for row, col in slots:
+        pts.append({"x": 1.5, "y": 1.0, "z": float(v), "intensity": 0.5,
+                    "row": row, "col": col, "t": 0, "label": -2})
+    # knife-edge pair in the adjacent sector (39, 25): x=3.5
+    for row in (14, 15):
+        pts.append({"x": 3.5, "y": 1.0, "z": float(z_knife), "intensity": 0.5,
+                    "row": row, "col": 20, "t": 0, "label": -2})
+    # shield the knife's OTHER three neighbor sectors with mid-height ground
+    # (an in-grid EMPTY sector has avg = 0/0.01 = 0 and would veto the knife
+    # regardless of A's average): z=1.4 → knife - 1.4 < 0.3, no veto
+    for (sx, sy), cols in ((( 5.5, 1.0), (22, 23)),
+                           (( 3.5, -1.0), (24, 25)),
+                           (( 3.5, 3.0), (26, 27))):
+        for col in cols:
+            for row in (14, 15):
+                pts.append({"x": sx, "y": sy, "z": 1.4, "intensity": 0.5,
+                            "row": row, "col": col, "t": 0, "label": -2})
+
+    ref_cloud, _ = ordered_ref_arrays(pts, SMALL)
+    ref_impl.mark_ground_ref(
+        ref_cloud, SMALL.n_scan, SMALL.horizon_scan, SMALL.ground_upper_scan
+    )
+    ordered = get_ordered_cloud(to_cloud(pts), SMALL)
+    labeled, _ = mark_ground(ordered, SMALL)
+    ref_labels = np.array([p["label"] for p in ref_cloud], np.int32)
+    np.testing.assert_array_equal(np.asarray(labeled.label), ref_labels)
+
+
 def test_negative_zero_slot_takes_general_path():
     """A slot that is value-zero but holds -0.0 is a REAL point: the
     reference's last-wins scatter stores its 0x80000000 byte pattern, so the
