@@ -243,9 +243,14 @@ def _icp_impl(
             inc = _estimate_svd(transformed, tgt, w)
         return inc, w, d2
 
+    # PCL's loop is a do-while: even max_iterations=0 performs one
+    # correspondence+estimation pass and reports converged via the
+    # iterations criterion, so at least one iteration always runs
+    min_one = max(cfg.max_iterations, 1)
+
     def cond(state):
         it, _, _, done, _ = state
-        return (~done) & (it < cfg.max_iterations)
+        return (~done) & (it < min_one)
 
     def body(state):
         it, final_t, prev_mse, done, conv = state
@@ -294,7 +299,7 @@ def _icp_impl(
                          "converged": conv_, "it": it_}
 
         (it, final_t, _, _, conv), trace = jax.lax.scan(
-            scan_step, init, None, length=cfg.max_iterations
+            scan_step, init, None, length=max(cfg.max_iterations, 1)
         )
     else:
         it, final_t, _, _, conv = jax.lax.while_loop(cond, body, init)

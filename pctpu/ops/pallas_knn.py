@@ -209,54 +209,64 @@ def _tile_bboxes(xyz: jnp.ndarray, mask: jnp.ndarray, tile: int) -> jnp.ndarray:
     return out
 
 
-def _nn_pruned_kernel(qb_ref, tb_ref, thr_ref, q_ref, t_ref, val_ref, idx_ref):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    nt = pl.num_programs(1)
-    tt = t_ref.shape[1]
-    # diagonal start: t-tile actually loaded this step (must match index_map)
-    jj = jax.lax.rem(i * nt // pl.num_programs(0) + j, nt)
+def _diag_tile(i, j, nq_t, nt_t):
+    """t-tile visited at grid step (i, j): diagonal start so spatially
+    aligned tiles come first.  SINGLE source of truth — used both by the
+    kernel body (for bbox gaps and global indices) and by the BlockSpec
+    index_map (for which tile to load); they must agree or every returned
+    index silently points into the wrong tile."""
+    return (i * nt_t // nq_t + j) % nt_t
 
-    @pl.when(j == 0)
-    def _():
-        # masked queries start at -BIG so they never update and never hold
-        # the dynamic bound open; valid queries start at +BIG
-        masked = q_ref[4, :] > 0.5
-        val_ref[0, :] = jnp.where(masked, -jnp.float32(_BIG), jnp.float32(_BIG))
-        idx_ref[0, :] = jnp.zeros_like(idx_ref[0, :])
 
-    # box-to-box squared gap
-    gap = jnp.float32(0.0)
-    for d in range(3):
-        lo_q, hi_q = qb_ref[d, i], qb_ref[3 + d, i]
-        lo_t, hi_t = tb_ref[d, jj], tb_ref[3 + d, jj]
-        g = jnp.maximum(jnp.maximum(lo_t - hi_q, lo_q - hi_t), 0.0)
-        gap = gap + g * g
+def _make_nn_pruned_kernel(nq_t, nt_t):
+    def _nn_pruned_kernel(qb_ref, tb_ref, thr_ref, q_ref, t_ref, val_ref, idx_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        tt = t_ref.shape[1]
+        jj = _diag_tile(i, j, nq_t, nt_t)
 
-    bound = jnp.minimum(thr_ref[0], jnp.max(val_ref[0, :]))
+        @pl.when(j == 0)
+        def _():
+            # masked queries start at -BIG so they never update and never hold
+            # the dynamic bound open; valid queries start at +BIG
+            masked = q_ref[4, :] > 0.5
+            val_ref[0, :] = jnp.where(masked, -jnp.float32(_BIG), jnp.float32(_BIG))
+            idx_ref[0, :] = jnp.zeros_like(idx_ref[0, :])
 
-    @pl.when(gap <= bound)
-    def _():
-        cross = jax.lax.dot_general(
-            q_ref[:],
-            t_ref[:],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (TQ, TT)
-        score = t_ref[3, :][None, :] - 2.0 * cross
-        q2 = q_ref[0, :] ** 2 + q_ref[1, :] ** 2 + q_ref[2, :] ** 2
-        local_best = jnp.min(score, axis=1) + q2  # true d² of the block winner
-        local_arg = jnp.argmin(score, axis=1).astype(jnp.int32) + jj * tt
+        # box-to-box squared gap
+        gap = jnp.float32(0.0)
+        for d in range(3):
+            lo_q, hi_q = qb_ref[d, i], qb_ref[3 + d, i]
+            lo_t, hi_t = tb_ref[d, jj], tb_ref[3 + d, jj]
+            g = jnp.maximum(jnp.maximum(lo_t - hi_q, lo_q - hi_t), 0.0)
+            gap = gap + g * g
 
-        # equal scores break toward the LOWEST global index (matching
-        # ops.knn.nn_1 / the kd-tree convention) — the diagonal-start visit
-        # order would otherwise make tie winners depend on the q-tile
-        better = (local_best < val_ref[0, :]) | (
-            (local_best == val_ref[0, :]) & (local_arg < idx_ref[0, :])
-        )
-        val_ref[0, :] = jnp.where(better, local_best, val_ref[0, :])
-        idx_ref[0, :] = jnp.where(better, local_arg, idx_ref[0, :])
+        bound = jnp.minimum(thr_ref[0], jnp.max(val_ref[0, :]))
+
+        @pl.when(gap <= bound)
+        def _():
+            cross = jax.lax.dot_general(
+                q_ref[:],
+                t_ref[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (TQ, TT)
+            score = t_ref[3, :][None, :] - 2.0 * cross
+            q2 = q_ref[0, :] ** 2 + q_ref[1, :] ** 2 + q_ref[2, :] ** 2
+            local_best = jnp.min(score, axis=1) + q2  # true d² of the block winner
+            local_arg = jnp.argmin(score, axis=1).astype(jnp.int32) + jj * tt
+
+            # equal scores break toward the LOWEST global index (matching
+            # ops.knn.nn_1 / the kd-tree convention) — the diagonal-start visit
+            # order would otherwise make tie winners depend on the q-tile
+            better = (local_best < val_ref[0, :]) | (
+                (local_best == val_ref[0, :]) & (local_arg < idx_ref[0, :])
+            )
+            val_ref[0, :] = jnp.where(better, local_best, val_ref[0, :])
+            idx_ref[0, :] = jnp.where(better, local_arg, idx_ref[0, :])
+
+    return _nn_pruned_kernel
 
 
 @functools.partial(
@@ -272,10 +282,16 @@ def pallas_nn_1_pruned(
     tt: int = 2048,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact 1-NN with block pruning.  Both clouds MUST be spatially sorted
-    (``spatial_sort``) for the pruning to bite; results are exact for every
-    valid query whose true NN is within ``max_distance`` (all queries when
-    None).  Queries with no target within ``max_distance`` return +inf."""
+    """1-NN with block pruning, exact up to score-domain ties.  Both clouds
+    MUST be spatially sorted (``spatial_sort``) for the pruning to bite.
+
+    Winner selection compares MXU scores ``|t|² − 2q·t`` (absolute error
+    ~|p|²·2⁻²³, like the XLA blocked-argmin path): targets whose true
+    distances differ by less than that window may resolve either way.  Away
+    from such ties results match the exact oracle index-for-index (tested);
+    the returned distance is always re-derived exactly from the winner's
+    coordinates.  Queries with no target within ``max_distance`` return
+    +inf."""
     qn = query.shape[0]
     tn = target.shape[0]
     qp = -(-qn // tq) * tq
@@ -302,7 +318,7 @@ def pallas_nn_1_pruned(
     nq_t, nt_t = qp // tq, tp // tt
     grid = (nq_t, nt_t)
     val, idx = pl.pallas_call(
-        _nn_pruned_kernel,
+        _make_nn_pruned_kernel(nq_t, nt_t),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # q bboxes
@@ -311,7 +327,7 @@ def pallas_nn_1_pruned(
             pl.BlockSpec((8, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (8, tt),
-                lambda i, j: (0, (i * nt_t // nq_t + j) % nt_t),
+                lambda i, j: (0, _diag_tile(i, j, nq_t, nt_t)),
                 memory_space=pltpu.VMEM,
             ),
         ],

@@ -89,6 +89,8 @@ def keyframe_labels(
     n = len(positions)
     m = len(major_indices)
     labels = np.zeros((n, m), np.float32)
+    if m == 0:
+        return labels  # no majors → (n, 0) label matrix, not an IndexError
     major_pos = positions[np.asarray(major_indices, np.int64)]
     eps = float(cfg.label_weight_epsilon)  # double literal, like the C++ 1e-5
     for i in range(n):

@@ -34,12 +34,18 @@ def voxel_downsample(
     maxs = jnp.max(jnp.where(mask[:, None], xyz, -big), axis=0)
     max_b = jnp.floor(maxs * inv).astype(jnp.int32)
     div = max_b - min_b + 1
-    # int32-overflow guard: pcl::VoxelGrid bails when dx*dy*dz exceeds
-    # INT32_MAX; here the per-axis extent is capped instead (2048·2048·256 =
-    # 2³⁰ keys) — stray far returns clamp into boundary voxels rather than
-    # aliasing unrelated cells (documented divergence for >400 m extents).
-    budget = jnp.array([2048, 2048, 256], jnp.int32)
-    div = jnp.minimum(div, budget)
+    # int32-overflow guard: pcl::VoxelGrid bails out when dx*dy*dz exceeds
+    # INT32_MAX; here extents clamp instead (stray far returns land in
+    # boundary voxels rather than aliasing unrelated cells).  The clamp is
+    # shape-aware: x/y cap at 4096 cells each, and z gets whatever of the
+    # 2³⁰-key budget remains — so e.g. a 100×100×60 m cloud at leaf 0.2
+    # (500×500×300 cells) is EXACT, and the divergence only bites where
+    # PCL itself is near its own int32 bail-out (documented).
+    dxy_cap = jnp.int32(4096)
+    dx = jnp.minimum(div[0], dxy_cap)
+    dy = jnp.minimum(div[1], dxy_cap)
+    dz = jnp.minimum(div[2], jnp.maximum(jnp.int32(1 << 30) // (dx * dy), 1))
+    div = jnp.stack([dx, dy, dz])
     rel = jnp.clip(ijk - min_b, 0, div - 1)
     key = rel[:, 0] + rel[:, 1] * div[0] + rel[:, 2] * div[0] * div[1]
     sentinel = div[0] * div[1] * div[2]

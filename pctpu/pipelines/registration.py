@@ -130,6 +130,17 @@ def _stack_pairs(cs: list):
 _BUCKET_FLOOR = 1024
 
 
+def _warn_flat_cap(nkept_raw: int, flat_cap: int) -> None:
+    """Warn when the fixed flat-cloud capacity dropped kept top-part points
+    (the reference has no cap; raise --flat_cap to restore full parity)."""
+    if nkept_raw > flat_cap:
+        log.red(
+            f"WARNING: top-part extraction kept {nkept_raw} points but "
+            f"flat_cap={flat_cap} truncated them; coarse ICP runs on a "
+            "partial flat cloud — raise --flat_cap for full parity"
+        )
+
+
 def _pow2_bucket(n: int, cap: int) -> int:
     b = _BUCKET_FLOOR
     while b < n:
@@ -149,13 +160,15 @@ def _stage_flat(cloud_1: Cloud, cloud_2: Cloud, flat_cap: int, leaf: float):
     once fetched — proves the dispatch fully executed (honest stage timing)."""
 
     def one(c):
-        fx, fm, _ = extract_top_and_flatten(c)
-        return voxel_downsample(fx[:flat_cap], fm[:flat_cap], leaf)
+        fx, fm, nkept = extract_top_and_flatten(c)
+        return voxel_downsample(fx[:flat_cap], fm[:flat_cap], leaf), nkept
 
-    s = one(cloud_1)
-    t = one(cloud_2)
+    s, nk1 = one(cloud_1)
+    t, nk2 = one(cloud_2)
     chk = jnp.sum(s[0]) + jnp.sum(t[0])
-    return s, t, chk
+    # max raw top-part count: > flat_cap means the [:flat_cap] slice dropped
+    # kept points (the reference has no cap — callers warn)
+    return s, t, chk, jnp.maximum(nk1, nk2)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "bucket"))
@@ -227,17 +240,20 @@ def register_pairs(
         guesses = jax.device_put(guesses, sharding)
 
     with timer.stage("coarse", items=n):
-        s, t, chk = jax.vmap(
+        s, t, chk, nk_raw = jax.vmap(
             lambda a, b: _stage_flat(a, b, flat_cap, cfg.voxel_leaf)
         )(c1, c2)
-        # one fetch per stage boundary: [max src count, max tgt count, chk]
+        # one fetch per stage boundary: [max src count, max tgt count, chk,
+        # max raw top-part count]
         stats = np.asarray(
             jnp.stack([
                 jnp.max(s[2]).astype(jnp.float32),
                 jnp.max(t[2]).astype(jnp.float32),
                 jnp.sum(chk),
+                jnp.max(nk_raw).astype(jnp.float32),
             ])
         )
+        _warn_flat_cap(int(stats[3]), flat_cap)
         bucket = _pow2_bucket(int(max(stats[0], stats[1])), flat_cap)
         best = jax.vmap(
             lambda sx, sm, tx, tm, g: _stage_coarse(sx, sm, tx, tm, g, cfg, bucket)
@@ -296,10 +312,12 @@ def register_pair(
     guesses = _guess_pair(angle_guess_deg)
 
     with timer.stage("coarse"):
-        s, t, chk = _stage_flat(cloud_1, cloud_2, flat_cap, cfg.voxel_leaf)
+        s, t, chk, nk_raw = _stage_flat(cloud_1, cloud_2, flat_cap, cfg.voxel_leaf)
         stats = np.asarray(
-            jnp.stack([s[2].astype(jnp.float32), t[2].astype(jnp.float32), chk])
+            jnp.stack([s[2].astype(jnp.float32), t[2].astype(jnp.float32), chk,
+                       nk_raw.astype(jnp.float32)])
         )
+        _warn_flat_cap(int(stats[3]), flat_cap)
         bucket = _pow2_bucket(int(max(stats[0], stats[1])), flat_cap)
         best = _stage_coarse(s[0], s[1], t[0], t[1], guesses, cfg, bucket)
         best = jax.tree.map(np.asarray, jax.device_get(best))

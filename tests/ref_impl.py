@@ -345,7 +345,9 @@ def icp_ref(
     converged = False
     trace = []
 
-    for it in range(1, max_iterations + 1):
+    # PCL's loop is a do-while: at least one iteration runs even
+    # when max_iterations == 0 (converging via the iterations criterion)
+    for it in range(1, max(max_iterations, 1) + 1):
         moved = src @ final[:3, :3].T + final[:3, 3]
         pairs = []
         for i in range(len(moved)):
@@ -367,7 +369,7 @@ def icp_ref(
         mse = float(np.mean([d2 for _, _, d2 in pairs]))
         trace.append((final.copy(), mse, len(pairs)))
 
-        if it >= max_iterations:
+        if it >= max_iterations or max_iterations == 0:
             converged = True
             break
         cos_angle = 0.5 * (float(inc[0, 0]) + float(inc[1, 1]) + float(inc[2, 2]) - 1.0)

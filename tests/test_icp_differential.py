@@ -311,3 +311,17 @@ def test_trace_matches_production_icp():
     np.testing.assert_array_equal(np.asarray(res_t.transform), np.asarray(res_p.transform))
     assert float(res_t.fitness) == float(res_p.fitness)
     assert bool(res_t.converged) == bool(res_p.converged)
+
+
+def test_max_iterations_zero_do_while():
+    """PCL's do-while performs one pass even with max_iterations=0 and
+    reports converged via the iterations criterion; op and oracle agree."""
+    src, tgt = scene(9)
+    guess = np.eye(4, dtype=np.float32)
+    cfg = IcpConfig(max_correspondence_distance=4.0, max_iterations=0)
+    res, trace, ref = run_both(src, tgt, guess, cfg)
+    assert len(ref["trace"]) == 1 and ref["converged"] is True
+    assert bool(res.converged) is True
+    # the single-iteration transform differs from the guess (one estimation)
+    assert not np.allclose(np.asarray(res.transform), guess)
+    assert_traces_match(trace, ref)

@@ -67,3 +67,12 @@ def test_labels_single_major():
     assert majors == [0]
     labels = keyframe_labels(pos, majors)
     np.testing.assert_array_equal(labels, [[1.0], [1.0], [1.0]])
+
+
+def test_keyframe_labels_empty_majors():
+    import numpy as np
+
+    from pctpu.ops.select import keyframe_labels
+
+    out = keyframe_labels(np.random.rand(4, 3).astype(np.float32), [])
+    assert out.shape == (4, 0)
