@@ -117,8 +117,10 @@ def quat_from_matrix(r: np.ndarray) -> np.ndarray:
         x = (r[0, 2] + r[2, 0]) / s
         y = (r[1, 2] + r[2, 1]) / s
         z = 0.25 * s
-    q = np.array([w, x, y, z], np.float64)
-    return q / np.linalg.norm(q)
+    # Eigen's Quaterniond(Matrix3d) conversion does NOT renormalize; for
+    # CSV-roundtripped (only ~1e-6-orthonormal) matrices an extra normalize
+    # would shift components by several f32 ulps vs the reference
+    return np.array([w, x, y, z], np.float64)
 
 
 def quat_to_matrix(q: np.ndarray) -> np.ndarray:
@@ -151,8 +153,8 @@ def quat_slerp(q0: np.ndarray, q1: np.ndarray, t: float) -> np.ndarray:
         scale1 = np.sin(t * theta) / sin_theta
     if d < 0:
         scale1 = -scale1
-    q = scale0 * q0 + scale1 * q1
-    return q / np.linalg.norm(q)
+    # like Eigen, no renormalization of the result
+    return scale0 * q0 + scale1 * q1
 
 
 @dataclasses.dataclass
@@ -194,13 +196,16 @@ def interpolate_pose(pose_a: Pose6f, pose_b: Pose6f, ratio: float) -> Pose6f:
     """Linear position + quaternion slerp, euler re-derived via the custom
     extraction (/root/reference/include/Utility.h:51-71).
 
-    The position mix is computed in float32 like the reference fields.
+    The position mix promotes to double like the C++ (`x` is a float but
+    `ratio` is a double, so ``x*(1-ratio) + pose_2.x*ratio`` is f64 math
+    with ONE final rounding into the float field, Utility.h:55-57) — an
+    all-f32 mix diverges on ~44% of random inputs, enough to flip keyframes
+    near the distance gate.
     """
-    ratio32 = np.float32(ratio)
-    one_minus = np.float32(1.0) - ratio32
-    x = np.float32(pose_a.x) * one_minus + np.float32(pose_b.x) * ratio32
-    y = np.float32(pose_a.y) * one_minus + np.float32(pose_b.y) * ratio32
-    z = np.float32(pose_a.z) * one_minus + np.float32(pose_b.z) * ratio32
+    ratio = float(ratio)
+    x = np.float32(np.float64(pose_a.x) * (1.0 - ratio) + np.float64(pose_b.x) * ratio)
+    y = np.float32(np.float64(pose_a.y) * (1.0 - ratio) + np.float64(pose_b.y) * ratio)
+    z = np.float32(np.float64(pose_a.z) * (1.0 - ratio) + np.float64(pose_b.z) * ratio)
     quat = quat_slerp(pose_a.rotation_quat, pose_b.rotation_quat, ratio)
     rotation = quat_to_matrix(quat)
     euler = rotation_matrix_to_euler_angles(rotation)

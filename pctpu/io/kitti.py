@@ -66,6 +66,8 @@ def assign_rings(points: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray
     ring = 0 if (n > 0 and az[0] > 0) else -1
     last_reset = 1  # iteration count since reset == i - last_reset
     ring_at = np.empty(n, np.int32)
+    if n == 0:
+        return ring_at  # empty/truncated .bin → no rings (selector continues)
     ring_at[0] = -1  # point 0 is never assigned
     guard = HORIZON_SCAN * np.float32(0.60)
     b_idx = np.flatnonzero(boundary)

@@ -62,7 +62,10 @@ def pca2d_project(fit: Pca2dFit, xyz: jnp.ndarray) -> jnp.ndarray:
     """Project points into the PCA frame (PCA2D.cpp:81-108): returns (N, 3)
     with ``eigvecsᵀ (p.xy − mean)`` in xy and z = 0."""
     p2 = jnp.asarray(xyz)[:, :2].astype(jnp.float32)
-    proj = (p2 - fit.mean) @ fit.eigenvectors
+    proj = jnp.matmul(
+        p2 - fit.mean, fit.eigenvectors,
+        precision=jax.lax.Precision.HIGHEST,  # CLAUDE.md: full-f32 matmuls
+    )
     return jnp.concatenate([proj, jnp.zeros((proj.shape[0], 1), jnp.float32)], axis=1)
 
 

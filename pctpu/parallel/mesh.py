@@ -93,14 +93,23 @@ def sharded_nn_1(mesh: Mesh, tile: int = 512):
         q = jnp.arange(d2.shape[0])
         return all_idx[best, q], all_d2[best, q]
 
-    fn = shard_map(
+    fn = jax.jit(shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(), P("points"), P("points")),
         out_specs=(P(), P()),
         check_rep=False,
-    )
-    return jax.jit(fn)
+    ))
+
+    def run(query, qmask, target, tmask):
+        if target.shape[0] % n_shards:
+            raise ValueError(
+                f"target length {target.shape[0]} must divide the 'points' "
+                f"axis ({n_shards}) — pad the cloud to a multiple"
+            )
+        return fn(query, qmask, target, tmask)
+
+    return run
 
 
 def psum_metrics(mesh: Mesh):

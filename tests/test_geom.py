@@ -99,3 +99,42 @@ def test_yaw_rotation_4x4():
     t = yaw_rotation_4x4(np.pi / 2)
     p = t @ np.array([1.0, 0, 0, 1])
     np.testing.assert_allclose(p[:3], [0, 1, 0], atol=1e-12)
+
+
+def test_interpolate_position_double_promotion():
+    """Utility.h:55-57: x is a float but ratio is a double, so the position
+    mix runs in f64 with ONE final rounding — an all-f32 mix diverges on
+    ~44% of random inputs (measured), enough to flip keyframes at the
+    distance gate."""
+    rng = np.random.default_rng(0)
+    mismatch_f32 = 0
+    for _ in range(500):
+        xa = np.float32(rng.uniform(-500, 500))
+        xb = np.float32(rng.uniform(-500, 500))
+        ratio = float(rng.uniform(0.001, 0.999))
+        a = Pose6f.from_matrix(np.eye(3), np.array([xa, 0, 0], np.float64))
+        b = Pose6f.from_matrix(np.eye(3), np.array([xb, 0, 0], np.float64))
+        out = interpolate_pose(a, b, ratio)
+        expect = np.float32(np.float64(xa) * (1.0 - ratio) + np.float64(xb) * ratio)
+        assert out.x == expect, (xa, xb, ratio)
+        f32_mix = np.float32(xa * np.float32(1.0 - np.float32(ratio))
+                             + xb * np.float32(ratio))
+        if f32_mix != expect:
+            mismatch_f32 += 1
+    # the all-f32 formulation really does diverge often (sanity of the claim)
+    assert mismatch_f32 > 50
+
+
+def test_quat_helpers_do_not_renormalize():
+    """Eigen's Quaterniond(Matrix3d) and slerp keep the raw result; for a
+    CSV-roundtripped (only ~1e-6-orthonormal) matrix an extra normalize
+    shifts components by several f32 ulps."""
+    rng = np.random.default_rng(1)
+    r = euler_zyx_to_matrix(0.3, -0.2, 1.1)
+    r_csv = np.array([[float(f"{v:.6f}") for v in row] for row in r])
+    q = quat_from_matrix(r_csv)
+    # not forcibly unit: norm retains the matrix's orthonormality error
+    assert abs(float(np.linalg.norm(q)) - 1.0) > 0  # bitwise-exact 1.0 would
+    # indicate renormalization kicked in
+    q2 = quat_slerp(q, quat_from_matrix(r), 0.37)
+    assert abs(float(np.linalg.norm(q2)) - 1.0) < 1e-5  # near-unit, not exact
