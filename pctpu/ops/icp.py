@@ -249,17 +249,20 @@ def _icp_impl(
     min_one = max(cfg.max_iterations, 1)
 
     def cond(state):
-        it, _, _, done, _ = state
+        it, _, _, _, done, _ = state
         return (~done) & (it < min_one)
 
     def body(state):
-        it, final_t, prev_mse, done, conv = state
-        transformed = _apply(final_t, src_xyz)
+        it, final_t, transformed, prev_mse, done, conv = state
         inc, w, d2 = one_iteration(transformed)
         ncorr = jnp.sum(w)
         enough = ncorr >= 3.0
         inc = jnp.where(enough, inc, jnp.eye(4, dtype=jnp.float32))
         final_t = inc @ final_t
+        # PCL transforms the WORKING cloud incrementally
+        # (transformCloud(input_transformed, input_transformed,
+        # transformation_)) — per-step f32 rounding, not compose-then-apply
+        transformed = _apply(inc, transformed)
         it = it + 1
 
         # convergence checks in PCL order
@@ -277,12 +280,13 @@ def _icp_impl(
         new_done = done | (~enough) | converged_now | hit_max
         # < 3 correspondences → hasConverged() false (PCL aborts the loop)
         new_conv = jnp.where(done, conv, enough & (converged_now | hit_max | conv))
-        return it, final_t, mse, new_done, new_conv
+        return it, final_t, transformed, mse, new_done, new_conv
 
     guess = jnp.asarray(guess, jnp.float32)
     init = (
         jnp.int32(0),
         guess,
+        _apply(guess, src_xyz),
         jnp.float32(jnp.finfo(jnp.float32).max),
         jnp.bool_(False),
         jnp.bool_(False),
@@ -293,16 +297,16 @@ def _icp_impl(
         # body is gated on `done` to keep while_loop semantics exactly
         def scan_step(state, _):
             nxt = body(state)
-            nxt = jax.tree.map(lambda a, b: jnp.where(state[3], a, b), state, nxt)
-            it_, t_, mse_, done_, conv_ = nxt
+            nxt = jax.tree.map(lambda a, b: jnp.where(state[4], a, b), state, nxt)
+            it_, t_, _, mse_, done_, conv_ = nxt
             return nxt, {"transform": t_, "mse": mse_, "done": done_,
                          "converged": conv_, "it": it_}
 
-        (it, final_t, _, _, conv), trace = jax.lax.scan(
+        (it, final_t, _, _, _, conv), trace = jax.lax.scan(
             scan_step, init, None, length=max(cfg.max_iterations, 1)
         )
     else:
-        it, final_t, _, _, conv = jax.lax.while_loop(cond, body, init)
+        it, final_t, _, _, _, conv = jax.lax.while_loop(cond, body, init)
     # (a <3-correspondence abort keeps conv False even on the last iteration,
     # matching PCL's converged_=false break)
 
@@ -310,8 +314,14 @@ def _icp_impl(
     # max_range → every point counts), against the plain target mask
     transformed = _apply(final_t, src_xyz)
     _, d2 = nn_fit(transformed, src_mask, tgt_mask)
-    nsrc = jnp.maximum(jnp.sum(src_mask.astype(jnp.float32)), 1.0)
-    fitness = jnp.sum(jnp.where(src_mask, d2, 0.0)) / nsrc
+    nsrc_raw = jnp.sum(src_mask.astype(jnp.float32))
+    fitness = jnp.where(
+        nsrc_raw > 0,
+        jnp.sum(jnp.where(src_mask, d2, 0.0)) / jnp.maximum(nsrc_raw, 1.0),
+        # getFitnessScore returns numeric_limits<double>::max() for no
+        # accepted points — f32 max here (both clear the 1.5 failure gate)
+        jnp.float32(jnp.finfo(jnp.float32).max),
+    )
     result = IcpResult(converged=conv, fitness=fitness, transform=final_t)
     return (result, trace) if with_trace else result
 

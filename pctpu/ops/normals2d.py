@@ -141,7 +141,10 @@ def normals_2d(
             - 2.0 * jnp.matmul(qt, p2c.T, precision=prec)
             + t_sq_masked[None, :]
         )
-        nbr = (d <= r2) & qm[:, None]  # (tile, P)
+        # STRICT <: FLANN/nanoflann RadiusResultSet::addPoint uses
+        # `dist < radius` on squared distances (nanoflann.hpp:249-250),
+        # so a neighbor at exactly the search radius is excluded
+        nbr = (d < r2) & qm[:, None]  # (tile, P)
         nbr_f = nbr.astype(jnp.float32)
         sums = jnp.matmul(nbr_f, moments, precision=prec)  # (tile, 6) on the MXU
         v, curv = _sums_to_normal(sums)

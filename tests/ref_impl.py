@@ -45,6 +45,9 @@ def mark_ground_ref(
     grid_cols: int = 50,
     rooftop_margin: float = 0.30,
 ) -> np.ndarray:
+    # NB: the +75/+50 belonging() offsets below are the C++ constants tied to
+    # the default 75x50 grid; passing other grid dims changes only the clamp
+    # bounds, not the offsets (no C++ counterpart exists for other grids)
     """markGroundPoints (/root/reference/BatchMultiBevGen.cpp:119-252).
 
     Mutates labels in `cloud` and returns the ground mat.
@@ -72,7 +75,11 @@ def mark_ground_ref(
             dx = np.float32(cloud[upper]["x"]) - np.float32(cloud[lower]["x"])
             dy = np.float32(cloud[upper]["y"]) - np.float32(cloud[lower]["y"])
             dz = np.float32(cloud[upper]["z"]) - np.float32(cloud[lower]["z"])
-            angle = math.atan2(dz, math.sqrt(dx * dx + dy * dy)) * 180.0 / math.pi
+            # the C++ stores the double atan2 result into a `float angle`
+            # (BatchMultiBevGen.cpp:126,173) before the f32 <= 10.0f compare
+            angle = np.float32(
+                math.atan2(dz, math.sqrt(dx * dx + dy * dy)) * 180.0 / math.pi
+            )
             if abs(angle) <= 10.0:
                 gm[row, col] = 1
                 gm[row - 1, col] = 1
@@ -185,7 +192,7 @@ def top_flatten_ref(cloud: list[dict]) -> list[tuple[float, float, float]]:
         for gy in range(num_grid):
             idxs = grid.get((gx, gy), [])
             n = len(idxs)
-            needed = c_round(0.2 * n)
+            needed = c_round(float(np.float32(np.float32(0.2) * np.float32(n))))
             if n < min_pts:
                 continue
             idxs = sorted(idxs, key=lambda i: -cloud[i]["z"])
@@ -207,7 +214,12 @@ def voxel_ref(points: np.ndarray, leaf: float) -> np.ndarray:
     out = []
     for k in np.unique(key):  # unique returns sorted keys
         sel = points[key == k]
-        out.append(sel.mean(axis=0))
+        # PCL accumulates the centroid sequentially in f32 (Vector4f += per
+        # point) then divides — np.mean's pairwise f32 sum can differ by ulps
+        acc = np.zeros(3, np.float32)
+        for q in sel:
+            acc = (acc + q).astype(np.float32)
+        out.append(acc / np.float32(len(sel)))
     return np.asarray(out, np.float32)
 
 
@@ -222,7 +234,8 @@ def normals2d_ref(points: np.ndarray, radius: float = 2.0):
     valid = np.zeros(n, bool)
     for i in range(n):
         d2 = np.sum((points - points[i]) ** 2, axis=1)
-        nbr = np.flatnonzero(d2 <= radius * radius)
+        # strict <: FLANN RadiusResultSet excludes the exact boundary
+        nbr = np.flatnonzero(d2 < radius * radius)
         if len(nbr) < 2:
             continue
         if len(nbr) == 2:
@@ -347,8 +360,13 @@ def icp_ref(
 
     # PCL's loop is a do-while: at least one iteration runs even
     # when max_iterations == 0 (converging via the iterations criterion)
+    # PCL transforms the WORKING cloud in place each iteration
+    # (transformCloud(input_transformed, input_transformed, transformation_)),
+    # accumulating f32 rounding per step, rather than re-applying the
+    # composed final transform to the original points
+    moved = (src @ np.asarray(guess, np.float32)[:3, :3].T
+             + np.asarray(guess, np.float32)[:3, 3]).astype(np.float32)
     for it in range(1, max(max_iterations, 1) + 1):
-        moved = src @ final[:3, :3].T + final[:3, 3]
         pairs = []
         for i in range(len(moved)):
             j, d2 = _nn_1_ref(moved[i], tgt, corr_ok)
@@ -366,6 +384,8 @@ def icp_ref(
         else:
             inc = _estimate_svd_ref(s_sel, t_sel)
         final = (inc.astype(np.float32) @ final).astype(np.float32)
+        inc32 = inc.astype(np.float32)
+        moved = (moved @ inc32[:3, :3].T + inc32[:3, 3]).astype(np.float32)
         mse = float(np.mean([d2 for _, _, d2 in pairs]))
         trace.append((final.copy(), mse, len(pairs)))
 
@@ -386,12 +406,17 @@ def icp_ref(
         prev_mse = mse
 
     moved = src @ final[:3, :3].T + final[:3, 3]
-    fitness = 0.0
     all_ok = [True] * len(tgt)
-    for i in range(len(moved)):
-        _, d2 = _nn_1_ref(moved[i], tgt, all_ok)
-        fitness += d2
-    fitness /= max(len(moved), 1)
+    if len(moved) == 0:
+        # pcl::Registration::getFitnessScore returns
+        # std::numeric_limits<double>::max() when no point is accepted
+        fitness = float(np.finfo(np.float64).max)
+    else:
+        fitness = 0.0
+        for i in range(len(moved)):
+            _, d2 = _nn_1_ref(moved[i], tgt, all_ok)
+            fitness += d2
+        fitness /= len(moved)
     return {
         "converged": converged,
         "fitness": fitness,
