@@ -98,14 +98,12 @@ def run_kitti_select(
                 rotation_matrix=rotation,
                 rotation_quat=quat_from_matrix(rotation),
             )
-            points = kitti.read_bin(f"{root}velodyne/{cloud_idx:06d}.bin")
-            fields = kitti.structure_cloud(points)
-            # the packed-pcd encode + disk write overlaps the next bin read
-            writer.submit(
-                functools.partial(
-                    write_pcd, f"{cloud_dir}{keyframe_idx:06d}.pcd", fields
-                )
-            )
+            out_pcd = f"{cloud_dir}{keyframe_idx:06d}.pcd"
+            if not (resume and os.path.exists(out_pcd)):
+                points = kitti.read_bin(f"{root}velodyne/{cloud_idx:06d}.bin")
+                fields = kitti.structure_cloud(points)
+                # the packed-pcd encode + disk write overlaps the next bin read
+                writer.submit(functools.partial(write_pcd, out_pcd, fields))
             f_poses.write(format_pose_entry(cloud_idx, pose))
             keyframe_idx += 1
             last = pos
@@ -122,6 +120,7 @@ def _run_interpolating_select(
     cloud_stamps: np.ndarray,
     extract_fn,
     bin_name_fn,
+    resume: bool = False,
 ) -> int:
     """Shared MulRan/Oxford skeleton: per-cloud pose by linear+slerp
     interpolation between bracketing GT poses
@@ -171,14 +170,12 @@ def _run_interpolating_select(
             log.info(
                 f"Saving keyframe: {keyframe_idx}, dist to last keyframe: {_dist32(pos, last)}"
             )
-            fields = extract_fn(bin_name_fn(stamp))
-            if fields is not None:
-                # packed-pcd encode + write overlaps the next bin read
-                writer.submit(
-                    functools.partial(
-                        write_pcd, f"{cloud_dir}{keyframe_idx:06d}.pcd", fields
-                    )
-                )
+            out_pcd = f"{cloud_dir}{keyframe_idx:06d}.pcd"
+            if not (resume and os.path.exists(out_pcd)):
+                fields = extract_fn(bin_name_fn(stamp))
+                if fields is not None:
+                    # packed-pcd encode + write overlaps the next bin read
+                    writer.submit(functools.partial(write_pcd, out_pcd, fields))
             f_poses.write(format_pose_entry(cloud_idx, pose))
             keyframe_idx += 1
             last = pos
@@ -211,6 +208,7 @@ def run_mulran_select(
         cloud_stamps,
         extract,
         lambda s: f"{root}sensor_data/Ouster/{s:010d}.bin",
+        resume=resume,
     )
 
 
@@ -253,6 +251,7 @@ def run_oxford_select(
         cloud_stamps,
         extract,
         lambda s: f"{root}velodyne_left/{s:010d}.bin",
+        resume=resume,
     )
 
 

@@ -118,3 +118,25 @@ def test_mulran_to_multibev_integration(tmp_path):
     assert blob.sum() > 0  # non-ground towers present
     occupied_layer0 = int((blob[0] > 0).sum())
     assert occupied_layer0 < n_ground / 4  # most ground points filtered out
+
+
+def test_selector_resume_skips_existing_pcds(tmp_path):
+    """--resume: keyframe PCDs already on disk are not re-extracted, but the
+    pose CSV is fully rewritten (identical outputs, idempotent)."""
+    import os
+
+    from pctpu.pipelines.selectors import run_kitti_select
+
+    from .fixtures import make_kitti_tree
+
+    kitti_tree = str(tmp_path / "kitti")
+    make_kitti_tree(kitti_tree, num_frames=5, spacing=3.0)
+    n = run_kitti_select(kitti_tree, interval=2.0)
+    out = os.path.join(kitti_tree, "selected_keyframes_2.00m")
+    marker = os.path.join(out, "keyframe_point_cloud", "000000.pcd")
+    before = os.path.getmtime(marker)
+    pose_csv_before = open(os.path.join(out, "keyframe_pose.csv")).read()
+    n2 = run_kitti_select(kitti_tree, interval=2.0, resume=True)
+    assert n2 == n
+    assert os.path.getmtime(marker) == before  # untouched on resume
+    assert open(os.path.join(out, "keyframe_pose.csv")).read() == pose_csv_before
