@@ -59,8 +59,61 @@ def _artifacts():
     }
 
 
+def _full_scale_artifacts():
+    """The FULL HDL-64E fused production path (grid-ordered fast path +
+    sort-based BEV + swept-band ground) at real 64×2083 shapes — pins the
+    exact program the bench and the flagship pipeline run."""
+    import jax
+
+    from pctpu.config import get_sensor_params
+    from pctpu.ops.ordering import is_grid_ordered
+    from pctpu.ops.preprocess import preprocess_cloud
+
+    params = get_sensor_params("HDL_64E")
+    rng = np.random.default_rng(777)
+    g = params.grid_size
+    mask = rng.random(g) < 0.85
+    r = rng.uniform(2, 100, g).astype(np.float32)
+    az = rng.uniform(-np.pi, np.pi, g).astype(np.float32)
+    ground = rng.random(g) < 0.5
+    z = np.where(ground, rng.uniform(-2.1, -1.7, g), rng.uniform(-1, 6, g)).astype(
+        np.float32
+    )
+    # where(), not *mask: 0.0 * negative = -0.0, and the bit-zero empty-slot
+    # gate (correctly) rejects -0.0 as a real point
+    xyz = np.where(
+        mask[:, None],
+        np.stack([r * np.cos(az), r * np.sin(az), z], 1),
+        0.0,
+    ).astype(np.float32)
+    from pctpu.cloud import make_cloud
+
+    slot = np.arange(g)
+    cloud = make_cloud(
+        xyz,
+        intensity=(np.maximum(rng.random(g), 1e-3) * mask).astype(np.float32),
+        row=(slot // params.horizon_scan * mask).astype(np.int32),
+        col=(slot % params.horizon_scan * mask).astype(np.int32),
+        label=np.where(mask, -2, 0).astype(np.int32),
+    )
+    assert is_grid_ordered(cloud, params)
+    labeled, multi, single = jax.device_get(
+        preprocess_cloud(cloud, params, assume_ordered=True)
+    )
+    return {
+        "hdl64e_labels": np.asarray(labeled.label).astype(np.int16).tobytes(),
+        "hdl64e_multi_bev": np.asarray(multi).tobytes(),
+        "hdl64e_single_bev": np.asarray(single).tobytes(),
+    }
+
+
 def _hashes():
-    return {k: hashlib.sha256(v).hexdigest() for k, v in _artifacts().items()}
+    out = {k: hashlib.sha256(v).hexdigest() for k, v in _artifacts().items()}
+    out.update(
+        {k: hashlib.sha256(v).hexdigest()
+         for k, v in _full_scale_artifacts().items()}
+    )
+    return out
 
 
 def test_golden_hashes_unchanged():
