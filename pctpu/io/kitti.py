@@ -67,7 +67,8 @@ def assign_rings(points: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray
     last_reset = 1  # iteration count since reset == i - last_reset
     ring_at = np.empty(n, np.int32)
     if n == 0:
-        return ring_at  # empty/truncated .bin → no rings (selector continues)
+        # empty/truncated .bin → no rings, matching the 3-tuple contract
+        return row, np.empty(0, np.int32), np.zeros(0, bool)
     ring_at[0] = -1  # point 0 is never assigned
     guard = HORIZON_SCAN * np.float32(0.60)
     b_idx = np.flatnonzero(boundary)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import io as _io
+import os
 
 import numpy as np
 
@@ -110,7 +111,10 @@ def write_pcd(
         arr = np.asarray(data[f.name])
         rec[f.name] = arr.astype(f.dtype, copy=False)
 
-    with open(path, "wb") as fh:
+    # write to a temp name and rename: a killed run must never leave a
+    # truncated PCD at the final path (resume trusts existence)
+    tmp_path = f"{path}.tmp.{os.getpid()}"
+    with open(tmp_path, "wb") as fh:
         fh.write(header.encode("ascii"))
         if binary:
             fh.write(rec.tobytes())
@@ -129,6 +133,7 @@ def write_pcd(
                 )
                 out.write("\n")
             fh.write(out.getvalue().encode("ascii"))
+    os.replace(tmp_path, path)
 
 
 def _ascii_value(v) -> str:

@@ -62,9 +62,7 @@ def extract_top_and_flatten(
     count_pt = (run_end - run_start + 1).astype(jnp.float32)
     # C++: round(0.2f * n) — the f32 literal product (latent-only at
     # realistic cell sizes, but transcribed faithfully)
-    k_pt = c_round(
-        jnp.float32(cfg.top_fraction) * count_pt.astype(jnp.float32)
-    ).astype(jnp.int32)
+    k_pt = c_round(jnp.float32(cfg.top_fraction) * count_pt).astype(jnp.int32)
     k_pt = jnp.where(count_pt >= cfg.min_grid_points, k_pt, 0)
     keep = (rank < k_pt) & (cell_s < ncell)
 

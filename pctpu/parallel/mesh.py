@@ -104,8 +104,8 @@ def sharded_nn_1(mesh: Mesh, tile: int = 512):
     def run(query, qmask, target, tmask):
         if target.shape[0] % n_shards:
             raise ValueError(
-                f"target length {target.shape[0]} must divide the 'points' "
-                f"axis ({n_shards}) — pad the cloud to a multiple"
+                f"the 'points' axis ({n_shards}) must divide the target "
+                f"length ({target.shape[0]}) — pad the cloud to a multiple"
             )
         return fn(query, qmask, target, tmask)
 

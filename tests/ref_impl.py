@@ -389,7 +389,7 @@ def icp_ref(
         mse = float(np.mean([d2 for _, _, d2 in pairs]))
         trace.append((final.copy(), mse, len(pairs)))
 
-        if it >= max_iterations or max_iterations == 0:
+        if it >= max_iterations:  # with max=0 the single do-while pass hits this
             converged = True
             break
         cos_angle = 0.5 * (float(inc[0, 0]) + float(inc[1, 1]) + float(inc[2, 2]) - 1.0)

@@ -129,7 +129,6 @@ def test_quat_helpers_do_not_renormalize():
     """Eigen's Quaterniond(Matrix3d) and slerp keep the raw result; for a
     CSV-roundtripped (only ~1e-6-orthonormal) matrix an extra normalize
     shifts components by several f32 ulps."""
-    rng = np.random.default_rng(1)
     r = euler_zyx_to_matrix(0.3, -0.2, 1.1)
     r_csv = np.array([[float(f"{v:.6f}") for v in row] for row in r])
     q = quat_from_matrix(r_csv)
