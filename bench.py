@@ -11,6 +11,7 @@ vs_baseline = TPU clouds/s ÷ single-core clouds/s.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import subprocess
@@ -104,7 +105,7 @@ def synth_batch(params, batch: int, n_points: int, seed: int, ordered: bool = Fa
 
 
 def measure_tpu(ordered: bool = True, sensor: str = "HDL_64E",
-                n_points: int | None = None) -> float:
+                n_points: int | None = None, compat: str = "bitexact") -> float:
     """Sustained on-device clouds/sec of the fused preprocess+BEV kernel.
 
     One dispatch runs ``K_STACK`` distinct batches × ``REPS`` perturbed
@@ -147,7 +148,7 @@ def measure_tpu(ordered: bool = True, sensor: str = "HDL_64E",
                 xyz=batch.xyz * (1.0 + jnp.float32(1e-7) * (rep + offset))
             )
             labeled, multi, single = preprocess_batch(
-                b, params, assume_ordered=ordered
+                b, params, assume_ordered=ordered, compat=compat
             )
             return (
                 jnp.sum(multi, dtype=jnp.int32)
@@ -188,6 +189,105 @@ def measure_tpu(ordered: bool = True, sensor: str = "HDL_64E",
     assert checksum != 0
     dt_compute = max(dt - latency, 1e-6)
     return k_stack * reps * BATCH / dt_compute
+
+
+def verify_on_device() -> str:
+    """On-TPU verification gate (VERDICT round-2 item 5).
+
+    The Pallas kernels' real-chip lowering is otherwise exercised only
+    implicitly (the CPU suite runs them with ``interpret=True``), so this
+    gate diffs them against their XLA oracles on the actual device:
+
+    1. ``pallas_nn_1_pruned`` vs ``nn_1`` at 49k² fine-stage shapes, both
+       the thresholded (1 m correspondence gate) and the unthresholded
+       fitness pass — exact index/value agreement (correspondence semantics
+       /root/reference/BatchTopPartRegistration.cpp:199-239);
+    2. the fused sort-based BEV vs the scatter-based ops at full HDL-64E
+       shapes, in both compat modes — byte-identical rasters.
+
+    Returns "ok" or raises AssertionError.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pctpu.config import get_sensor_params
+    from pctpu.ops.bev import fused_multi_single_bev, multi_bev, single_bev
+    from pctpu.ops.ground import mark_ground
+    from pctpu.ops.knn import nn_1
+    from pctpu.ops.ordering import get_ordered_cloud
+    from pctpu.ops.pallas_knn import pallas_nn_1_pruned, spatial_sort
+
+    # --- pruned Pallas NN vs XLA blocked argmin at 49k² --------------------
+    rng = np.random.default_rng(7)
+    n = 49_000
+    pts = rng.uniform(-70, 70, (n, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-2, 8, n).astype(np.float32)
+    tgt = (pts + rng.normal(0, 0.5, (n, 3))).astype(np.float32)
+    q, qm, _ = spatial_sort(jnp.asarray(pts), jnp.ones(n, bool))
+    t, tm, _ = spatial_sort(jnp.asarray(tgt), jnp.ones(n, bool))
+
+    @jax.jit
+    def _nn_all(q, qm, t, tm):
+        i_ref, d_ref = nn_1(q, qm, t, tm)
+        i_thr, d_thr = pallas_nn_1_pruned(q, qm, t, tm, max_distance=1.0)
+        i_fit, d_fit = pallas_nn_1_pruned(q, qm, t, tm, max_distance=None)
+        return i_ref, d_ref, i_thr, d_thr, i_fit, d_fit
+
+    i_ref, d_ref, i_thr, d_thr, i_fit, d_fit = jax.device_get(
+        _nn_all(q, qm, t, tm)
+    )
+    # Winner selection happens on MXU scores |t|² − 2q·t with absolute error
+    # ~|p|²·2⁻²³ (ops/pallas_knn.py docstring) — targets whose exact
+    # distances differ by less than that window may resolve either way, and
+    # the two paths realize the window differently on-chip.  Exactness
+    # demand: identical indices AND d² everywhere outside the window, and
+    # any winner swap bounded by it (both d²s are re-derived exactly).
+    max_sq = float(np.max(np.sum(np.asarray(t) ** 2, axis=1)))
+    window = 8.0 * max_sq * 2.0**-23
+
+    def check(name, i2, d2, sel):
+        swap = (i2 != i_ref) & sel
+        assert np.all(np.abs(d2[swap] - d_ref[swap]) <= window), (
+            f"pruned NN ({name}): winner swap outside the score window"
+        )
+        assert swap.sum() <= max(1, int(0.001 * n)), (
+            f"pruned NN ({name}): {swap.sum()} swaps — not near-tie noise"
+        )
+        same = sel & ~swap
+        assert np.array_equal(i2[same], i_ref[same]), f"pruned NN ({name}) idx"
+        assert np.array_equal(d2[same], d_ref[same]), f"pruned NN ({name}) d2"
+
+    within = d_ref <= 1.0
+    check("thr", i_thr, d_thr, within)
+    beyond = ~within
+    assert np.all(~np.isfinite(d_thr[beyond]) | (d_thr[beyond] > 1.0 - window)), (
+        "pruned NN (thr) beyond-gate"
+    )
+    check("fitness", i_fit, d_fit, np.ones(n, bool))
+
+    # --- fused vs unfused preprocess BEVs at HDL-64E, both compat modes ----
+    # Stages compile as SEPARATE programs: one mega-program containing both
+    # the sort-based fused BEV and the scatter rasters measured a 340 s XLA
+    # fusion-search blowup on this backend, while the pieces compile in
+    # seconds and the BEV programs are shared across the two compat modes.
+    params = get_sensor_params("HDL_64E")
+    cloud = synth_batch(params, 1, min(N_POINTS, params.grid_size), seed=11)
+    one = jax.tree.map(lambda x: x[0], cloud)
+    ordered = jax.jit(lambda c: get_ordered_cloud(c, params))(one)
+    _mark = jax.jit(
+        lambda c, compat: mark_ground(c, params, compat=compat),
+        static_argnames=("compat",),
+    )
+    _fused = jax.jit(lambda c: fused_multi_single_bev(c, params.height_res))
+    _multi = jax.jit(lambda c: multi_bev(c, params.height_res))
+    _single = jax.jit(single_bev)
+    for compat in ("bitexact", "tolerance"):
+        labeled, _ = _mark(ordered, compat)
+        fm, fs = jax.device_get(_fused(labeled))
+        m, s = jax.device_get((_multi(labeled), _single(labeled)))
+        assert np.array_equal(fm, m), f"fused multi BEV ({compat})"
+        assert np.array_equal(fs, s), f"fused single BEV ({compat})"
+    return "ok"
 
 
 def measure_registration() -> float:
@@ -249,22 +349,33 @@ def main() -> int:
     details = "--details" in sys.argv
     baseline_ms = measure_baseline()
     baseline_cps = 1000.0 / baseline_ms
-    tpu_cps = measure_tpu(ordered=True)
+    # headline: the tolerance-compat production path (the measured throughput
+    # mode; <1 px BEV divergence — the north star's acceptance window,
+    # BASELINE.json:5).  The bit-exact default mode is reported alongside.
+    tol_cps = measure_tpu(ordered=True, compat="tolerance")
+    exact_cps = measure_tpu(ordered=True, compat="bitexact")
+    verify = verify_on_device()
     if details:
         general_cps = measure_tpu(ordered=False)
+        general_tol_cps = measure_tpu(ordered=False, compat="tolerance")
         hdl32_cps = measure_tpu(ordered=True, sensor="HDL_32E")
         os1_cps = measure_tpu(ordered=True, sensor="OS1_64")
         pairs_per_sec = measure_registration()
         with open(os.path.join(REPO, "bench_details.json"), "w") as f:
             json.dump(
                 {
-                    "hdl64e_multibev_clouds_per_sec": round(tpu_cps, 3),
+                    "hdl64e_multibev_clouds_per_sec_tolerance": round(tol_cps, 3),
+                    "hdl64e_multibev_clouds_per_sec_bitexact": round(exact_cps, 3),
                     "hdl64e_multibev_general_path_clouds_per_sec": round(general_cps, 3),
+                    "hdl64e_multibev_general_path_clouds_per_sec_tolerance": round(
+                        general_tol_cps, 3
+                    ),
                     "hdl32e_multibev_clouds_per_sec": round(hdl32_cps, 3),
                     "os1_64_multibev_clouds_per_sec": round(os1_cps, 3),
                     "baseline_single_core_clouds_per_sec": round(baseline_cps, 3),
                     "baseline_ms_per_cloud": baseline_ms,
                     "registration_pairs_per_sec_65k": round(pairs_per_sec, 3),
+                    "verify": verify,
                 },
                 f,
                 indent=2,
@@ -273,9 +384,13 @@ def main() -> int:
         json.dumps(
             {
                 "metric": "hdl64e_multibev_clouds_per_sec",
-                "value": round(tpu_cps, 3),
+                "value": round(tol_cps, 3),
                 "unit": "clouds/s",
-                "vs_baseline": round(tpu_cps / baseline_cps, 3),
+                "vs_baseline": round(tol_cps / baseline_cps, 3),
+                "compat": "tolerance",
+                "bitexact_clouds_per_sec": round(exact_cps, 3),
+                "bitexact_vs_baseline": round(exact_cps / baseline_cps, 3),
+                "verify": verify,
             }
         )
     )

@@ -26,6 +26,9 @@ Extensions: --resume  --batch-size=N  --no-pngs  --devices=N (data-parallel mesh
             writes keyframe_label.csv)
             --profile=DIR (capture a jax.profiler trace of the run for
             TensorBoard / xprof timeline inspection)
+            --compat=bitexact|tolerance (ground-grid accumulation: bit-exact
+            C++ rounding sequence (default) vs the MXU segment-sum throughput
+            mode, <1 px BEV divergence — docs/PERFORMANCE.md)
 """
 
 
@@ -53,6 +56,7 @@ def main(argv=None) -> int:
             devices=int_kw(kw, "devices", None),
             process_id=pid,
             num_processes=nproc,
+            compat=kw.get("compat", "bitexact"),
         )
     return 0
 

@@ -11,7 +11,10 @@ def main(argv=None) -> int:
     pos, kw = split_args(sys.argv[1:] if argv is None else argv)
     if len(pos) < 2:
         usage_exit(
-            "Usage: batch_whole_registration <match_result.txt> <point_cloud_dir>"
+            "Usage: batch_whole_registration <match_result.txt> <point_cloud_dir>\n"
+            "Extensions: --pair-batch=N (vmapped pair batching)  --devices=N\n"
+            "            (data-parallel mesh)  --capacity=N  --report=PATH\n"
+            "            --num-processes=N --process-id=K --coordinator=host:port"
         )
     nproc = int_kw(kw, "num_processes", None)
     pid = int_kw(kw, "process_id", None)
@@ -24,6 +27,8 @@ def main(argv=None) -> int:
         pos[1],
         report_path=kw.get("report", "./icp_precision_report_3d_icp_directly.txt"),
         capacity=int_kw(kw, "capacity", None),
+        pair_batch=int_kw(kw, "pair_batch", 1),
+        devices=int_kw(kw, "devices", None),
         process_id=pid,
         num_processes=nproc,
     )

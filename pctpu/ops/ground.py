@@ -110,16 +110,88 @@ def _belonging_grid(x: jnp.ndarray, y: jnp.ndarray, cfg: GroundConfig):
     return row, col
 
 
+def _grid_sums_bitexact(
+    sector: jnp.ndarray, z: jnp.ndarray, ground: jnp.ndarray, cfg: GroundConfig
+) -> jnp.ndarray:
+    """Sequential-rounding (z, count) sector sums via one fused scatter-add.
+
+    Bit-exact vs the C++ point-order accumulation
+    (/root/reference/BatchMultiBevGen.cpp:187-210): TPU scatter-add applies
+    updates in index order, reproducing the per-sector f32 rounding sequence,
+    and the accumulator starts AT the 0.01 epsilon (cv::Mat init, :135-136) —
+    (((0.01+1)+1)+…) rounds differently from exact_count + 0.01 once counts
+    reach 32.
+    """
+    nsec = cfg.grid_rows * cfg.grid_cols
+    gmask = ground.astype(jnp.float32)
+    pairs = jnp.stack([jnp.where(ground, z, 0.0), gmask], axis=1)
+    init = jnp.zeros((nsec, 2), jnp.float32).at[:, 1].set(
+        jnp.float32(cfg.count_epsilon)
+    )
+    return init.at[sector].add(pairs)
+
+
+def _grid_sums_tolerance(
+    srow: jnp.ndarray,
+    scol: jnp.ndarray,
+    z: jnp.ndarray,
+    ground: jnp.ndarray,
+    cfg: GroundConfig,
+) -> jnp.ndarray:
+    """MXU segment-sum of the (z, count) sector accumulators.
+
+    Factorized one-hot contraction: building (P, R) + (P, C) one-hots costs
+    P·(R+C) comparisons (30× less than a flat (P, R·C) one-hot), then ONE
+    dot_general ``(2R, P) @ (P, C) → (2R, C)`` puts all the accumulation on
+    the MXU.  Non-ground points contribute exact zeros to both channels, so
+    no masking of the one-hots is needed.
+
+    Divergence vs the C++: f32 sums accumulate in the MXU's tree order
+    instead of point order, and the count epsilon is added once at the end
+    instead of seeding the accumulator — both ~1e-5-relative effects on the
+    sector *averages*, which only feed the >0.30 m rooftop-veto threshold
+    (north-star tolerance <1 px BEV, BASELINE.json:5; knife-edge label flips
+    are bounded by the fuzz suite, tests/test_compat_tolerance.py).
+    """
+    r, c = cfg.grid_rows, cfg.grid_cols
+    oh_row = (srow[:, None] == jnp.arange(r, dtype=srow.dtype)).astype(jnp.float32)
+    oh_col = (scol[:, None] == jnp.arange(c, dtype=scol.dtype)).astype(jnp.float32)
+    gmask = ground.astype(jnp.float32)
+    zg = jnp.where(ground, z, 0.0)
+    lhs = jnp.concatenate(
+        [oh_row * zg[:, None], oh_row * gmask[:, None]], axis=1
+    )  # (P, 2R): z-weighted and count-weighted row one-hots
+    both = jax.lax.dot_general(
+        lhs,
+        oh_col,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (2R, C)
+    zsum = both[:r].reshape(r * c)
+    count = both[r:].reshape(r * c) + jnp.float32(cfg.count_epsilon)
+    return jnp.stack([zsum, count], axis=1)
+
+
 def mark_ground(
     ordered: Cloud,
     params: SensorParams,
     cfg: GroundConfig = GroundConfig(),
+    compat: str = "bitexact",
 ) -> tuple[Cloud, jnp.ndarray]:
     """Label ground points 0 in a dense ordered cloud.
 
     Returns (cloud with updated labels, ground_mat int8 (n_scan, horizon_scan))
     with the reference encoding {-1 invalid, 0 no, 1 ground}.
+
+    ``compat`` selects the sector-average accumulation: ``"bitexact"``
+    (default) reproduces the C++ f32 rounding sequence via a scatter-add;
+    ``"tolerance"`` uses an MXU segment-sum (~1e-5-relative average
+    divergence, within the BASELINE.json:5 acceptance window) — the measured
+    throughput mode (docs/PERFORMANCE.md).
     """
+    if compat not in ("bitexact", "tolerance"):
+        raise ValueError(f"compat must be 'bitexact' or 'tolerance', got {compat!r}")
     n, h = params.n_scan, params.horizon_scan
     g = n * h
     if params.ground_upper_scan >= n - 1:
@@ -212,18 +284,11 @@ def mark_ground(
     z_sw = flat["z"][swept_slice]
     ground_sw = ground1[swept_slice]
     srow, scol = _belonging_grid(x_sw, y_sw, cfg)
-    sector = srow * cfg.grid_cols + scol
-    nsec = cfg.grid_rows * cfg.grid_cols
-    gmask = ground_sw.astype(jnp.float32)
-    pairs = jnp.stack([jnp.where(ground_sw, z_sw, 0.0), gmask], axis=1)
-    # the count accumulator starts AT the 0.01 epsilon (cv::Mat init, :135-136)
-    # and increments per point — (((0.01+1)+1)+…) rounds differently from
-    # exact_count + 0.01 once counts reach 32, so initializing the scatter
-    # target reproduces the C++ f32 rounding sequence bit-for-bit
-    init = jnp.zeros((nsec, 2), jnp.float32).at[:, 1].set(
-        jnp.float32(cfg.count_epsilon)
-    )
-    sums = init.at[sector].add(pairs)
+    if compat == "bitexact":
+        sector = srow * cfg.grid_cols + scol
+        sums = _grid_sums_bitexact(sector, z_sw, ground_sw, cfg)
+    else:
+        sums = _grid_sums_tolerance(srow, scol, z_sw, ground_sw, cfg)
     avg = (sums[:, 0] / sums[:, 1]).reshape(cfg.grid_rows, cfg.grid_cols)
 
     # --- pass 3: rooftop veto (min valid-neighbor average) + labels --------

@@ -34,7 +34,7 @@ from pctpu.ops.ordering import get_ordered_cloud
 @functools.partial(
     jax.jit,
     static_argnames=("params", "ground_cfg", "multi_cfg", "single_cfg",
-                     "assume_ordered"),
+                     "assume_ordered", "compat"),
 )
 def preprocess_cloud(
     cloud: Cloud,
@@ -43,6 +43,7 @@ def preprocess_cloud(
     multi_cfg: MultiBevConfig = MultiBevConfig(),
     single_cfg: SingleBevConfig = SingleBevConfig(),
     assume_ordered: bool = False,
+    compat: str = "bitexact",
 ) -> tuple[Cloud, jnp.ndarray, jnp.ndarray]:
     """One cloud → (labeled ordered cloud, multi-BEV u8, single-BEV u8).
 
@@ -58,7 +59,7 @@ def preprocess_cloud(
         ordered = _reorder_preordered(cloud, params)
     else:
         ordered = get_ordered_cloud(cloud, params)
-    labeled, _ = mark_ground(ordered, params, ground_cfg)
+    labeled, _ = mark_ground(ordered, params, ground_cfg, compat=compat)
     if fused_bev_compatible(multi_cfg, single_cfg):
         multi_img, single_img = fused_multi_single_bev(
             labeled, params.height_res, multi_cfg, single_cfg
@@ -108,7 +109,7 @@ def _reorder_preordered(cloud: Cloud, params: SensorParams) -> Cloud:
 @functools.partial(
     jax.jit,
     static_argnames=("params", "ground_cfg", "multi_cfg", "single_cfg",
-                     "assume_ordered"),
+                     "assume_ordered", "compat"),
 )
 def preprocess_batch(
     clouds: Cloud,
@@ -117,6 +118,7 @@ def preprocess_batch(
     multi_cfg: MultiBevConfig = MultiBevConfig(),
     single_cfg: SingleBevConfig = SingleBevConfig(),
     assume_ordered: bool = False,
+    compat: str = "bitexact",
 ) -> tuple[Cloud, jnp.ndarray, jnp.ndarray]:
     """Batched variant: every Cloud field carries a leading batch axis."""
     fn = functools.partial(
@@ -126,5 +128,6 @@ def preprocess_batch(
         multi_cfg=multi_cfg,
         single_cfg=single_cfg,
         assume_ordered=assume_ordered,
+        compat=compat,
     )
     return jax.vmap(fn)(clouds)

@@ -49,11 +49,12 @@ import jax.numpy as jnp
 @functools.partial(
     jax.jit,
     static_argnames=("params", "ground_cfg", "multi_cfg", "single_cfg",
-                     "assume_ordered"),
+                     "assume_ordered", "compat"),
 )
 def _preprocess_wire(
     arrays: dict, params, ground_cfg, multi_cfg, single_cfg,
     assume_ordered: bool = False,
+    compat: str = "bitexact",
 ):
     """Batched preprocess with narrow host↔device wire formats.
 
@@ -72,7 +73,7 @@ def _preprocess_wire(
     )
     labeled, multi, single = preprocess_batch(
         clouds, params, ground_cfg, multi_cfg, single_cfg,
-        assume_ordered=assume_ordered,
+        assume_ordered=assume_ordered, compat=compat,
     )
     # occupancy → bits (little-endian within each byte, like np.unpackbits
     # with bitorder="little")
@@ -95,7 +96,9 @@ def _preprocess_wire(
 class MultiBevOutputs:
     num_clouds: int
     num_major_frames: int
-    avg_ms_per_cloud: float
+    avg_ms_per_cloud: float  # reference span: device compute + BEV writeback
+    avg_device_ms_per_cloud: float = 0.0
+    avg_bev_write_ms_per_cloud: float = 0.0
 
 
 def _reset_dir(path: str, resume: bool) -> None:
@@ -124,8 +127,14 @@ def run_multi_bev(
     devices: int | None = None,
     process_id: int | None = None,
     num_processes: int | None = None,
+    compat: str = "bitexact",
 ) -> MultiBevOutputs:
     """Run the full batch_multi_bev_gen pipeline over a keyframe tree.
+
+    ``compat="tolerance"`` swaps the ground-grid scatter-add for the MXU
+    segment-sum (pctpu.ops.ground) — the measured throughput mode; outputs
+    stay within the BASELINE.json:5 window (<1 px BEV) of the default
+    bit-exact mode.
 
     ``devices=N`` (or an explicit ``mesh``) shards the batch axis over a
     data-parallel device mesh — the per-cloud kernel is embarrassingly
@@ -225,7 +234,7 @@ def run_multi_bev(
                         dev_arrays = {k: jax.numpy.asarray(v) for k, v in arrays.items()}
                     wire, packed, single = _preprocess_wire(
                         dev_arrays, params, ground_cfg, multi_cfg, single_cfg,
-                        assume_ordered=ordered,
+                        assume_ordered=ordered, compat=compat,
                     )
                     # one device_get for the whole batch result: the leaf
                     # transfers issue together and overlap instead of paying
@@ -261,19 +270,32 @@ def run_multi_bev(
                             single_img_dir,
                             non_ground_dir,
                             write_pngs,
+                            timer,
                         )
                     )
                     done += 1
 
-    avg = timer.average_ms("preprocess+bev")
-    log.info(timer.report_average("preprocess+bev",
-                                  "Average preprocessing and BEV generation"))
+    # The reference's [TIME] span (/root/reference/BatchMultiBevGen.cpp:731-749)
+    # covers getOrderedCloud → computeAndSaveSingleBev INCLUDING the BEV
+    # bin/png/csv writes (the labeled-pcd save at :756 sits outside it).  The
+    # writes run async here, so the comparable per-cloud number is the sum of
+    # the device-compute average and the measured per-cloud BEV-write average.
+    avg_device = timer.average_ms("preprocess+bev")
+    avg_write = timer.average_ms("bev-write")
+    avg = avg_device + avg_write
+    log.info(
+        "[TIME] Average preprocessing and BEV generation: "
+        f"{avg} (device {avg_device} + BEV write {avg_write}, "
+        "reference span BatchMultiBevGen.cpp:731-749)"
+    )
 
     # Step 2: major frames + labels (/root/reference/BatchMultiBevGen.cpp:761-765)
     # — a global computation over ALL keyframe poses; host 0 only
     if pid != 0:
         return MultiBevOutputs(
-            num_clouds=done, num_major_frames=0, avg_ms_per_cloud=avg
+            num_clouds=done, num_major_frames=0, avg_ms_per_cloud=avg,
+            avg_device_ms_per_cloud=avg_device,
+            avg_bev_write_ms_per_cloud=avg_write,
         )
     poses = read_keyframe_poses(pose_file)
     log.info(f"Finish reading all keyframe pose, total {len(poses)} entries. ")
@@ -285,7 +307,8 @@ def run_multi_bev(
     log.info(f"saved labels from {len(labels)} key frames. ")
     log.info("Done. ")
     return MultiBevOutputs(
-        num_clouds=done, num_major_frames=len(majors), avg_ms_per_cloud=avg
+        num_clouds=done, num_major_frames=len(majors), avg_ms_per_cloud=avg,
+        avg_device_ms_per_cloud=avg_device, avg_bev_write_ms_per_cloud=avg_write,
     )
 
 
@@ -301,9 +324,16 @@ def _write_outputs(
     single_img_dir: str,
     non_ground_dir: str,
     write_pngs: bool,
+    timer: StageTimer | None = None,
 ) -> None:
+    import time
+
     from pctpu.runtime.native_io import write_multi_bev, write_png
 
+    # BEV artifacts are INSIDE the reference's [TIME] span
+    # (/root/reference/BatchMultiBevGen.cpp:294-320, 352-372): timed into the
+    # "bev-write" stage.  The labeled pcd (:756) is outside it — untimed.
+    t0 = time.perf_counter()
     # multi-layer: one raw binary (layer-major, row-major) + 24 pngs
     write_multi_bev(
         bin_dir + short + ".bin", img_dir + short + "/", multi, write_pngs=write_pngs
@@ -311,6 +341,8 @@ def _write_outputs(
     if write_pngs:
         write_png(single_img_dir + short + ".png", single)
     write_csv(single_csv_dir + short + ".csv", single)
+    if timer is not None:
+        timer.add("bev-write", (time.perf_counter() - t0) * 1e3)
 
     # ground-labeled full ordered cloud (points are never deleted —
     # /root/reference/BatchMultiBevGen.cpp:754-756)

@@ -288,6 +288,59 @@ def register_pairs(
     ]
 
 
+def register_whole_pairs(
+    pairs: list[tuple[Cloud, Cloud, float]],
+    cfg: RegistrationConfig,
+    timer: StageTimer | None = None,
+    mesh: "jax.sharding.Mesh | None" = None,
+):
+    """Batch several whole-cloud ablation pairs (voxel + direct fine ICP from
+    the yaw guess, /root/reference/BatchWholeRegistration.cpp:342-412): both
+    stages run as one vmapped dispatch over the pair axis, mirroring
+    ``register_pairs`` minus the flatten/normals/coarse stage.  With ``mesh``
+    the pair axis is sharded over the mesh's 'data' axis."""
+    timer = timer or StageTimer()
+    c1 = _stack_pairs([p[0] for p in pairs])
+    c2 = _stack_pairs([p[1] for p in pairs])
+    guesses = jnp.asarray(
+        np.stack([
+            yaw_rotation_4x4(p[2] / 180.0 * math.pi).astype(np.float32)
+            for p in pairs
+        ])
+    )
+    n = len(pairs)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if n % mesh.shape["data"]:
+            raise ValueError(
+                f"len(pairs)={n} must be a multiple of the mesh data axis "
+                f"({mesh.shape['data']})"
+            )
+        sharding = NamedSharding(mesh, PartitionSpec("data"))
+        c1 = jax.tree.map(lambda x: jax.device_put(x, sharding), c1)
+        c2 = jax.tree.map(lambda x: jax.device_put(x, sharding), c2)
+        guesses = jax.device_put(guesses, sharding)
+
+    with timer.stage("fine", items=n):
+        a, b, chk2 = jax.vmap(
+            lambda x, y: _stage_voxel_full(x, y, cfg.voxel_leaf)
+        )(c1, c2)
+        stats2 = np.asarray(
+            jnp.stack([
+                jnp.max(a[2]).astype(jnp.float32),
+                jnp.max(b[2]).astype(jnp.float32),
+                jnp.sum(chk2),
+            ])
+        )
+        fbucket = _fine_bucket(int(max(stats2[0], stats2[1])), c1.capacity)
+        fine = jax.vmap(
+            lambda sx, sm, tx, tm, g: _stage_fine(sx, sm, tx, tm, g, cfg, fbucket)
+        )(a[0], a[1], b[0], b[1], guesses)
+        fine = jax.tree.map(np.asarray, jax.device_get(fine))
+    return [jax.tree.map(lambda x: x[i], fine) for i in range(n)]
+
+
 def register_pair(
     cloud_1: Cloud,
     cloud_2: Cloud,
@@ -529,6 +582,8 @@ def run_batch_whole_registration(
     cfg: RegistrationConfig | None = None,
     report_path: str = "./icp_precision_report_3d_icp_directly.txt",
     capacity: int | None = None,
+    pair_batch: int = 1,
+    devices: int | None = None,
     process_id: int | None = None,
     num_processes: int | None = None,
 ) -> tuple[int, int]:
@@ -536,6 +591,11 @@ def run_batch_whole_registration(
     clouds (/root/reference/BatchWholeRegistration.cpp:311-418).  The report
     file is created but — like the reference — never written to; only the
     success/failure counts are reported.  Returns (success, failure).
+
+    ``pair_batch > 1`` runs that many pairs as one vmapped device dispatch
+    (shared capacity auto-derived from the PCD headers when not given);
+    ``devices=N`` shards the pair axis over an N-way data-parallel mesh —
+    the same plumbing as ``run_batch_top_part_registration``.
 
     ``process_id``/``num_processes`` shard the match list across hosts like
     ``run_batch_top_part_registration`` (empty report per shard)."""
@@ -551,23 +611,70 @@ def run_batch_whole_registration(
     if nproc > 1:
         matches = process_shard(matches, pid, nproc)
         report_path = f"{report_path}.shard{pid}"
+    mesh = None
+    if devices is not None and devices > 1:
+        from pctpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=devices, n_points=1)
+        if pair_batch % devices:
+            pair_batch = -(-pair_batch // devices) * devices
+    if pair_batch > 1 and capacity is None:
+        capacity = _auto_capacity(matches, point_cloud_dir)
+        log.info(f"pair_batch capacity auto-derived from headers: {capacity}")
     timer = StageTimer()
     count_success = 0
     count_failure = 0
     open(report_path, "w").close()
 
-    for m in matches:
+    def result_stream():
+        """Yield (match, fine IcpResult) — sequentially or pair-batched."""
+        if pair_batch <= 1:
+            for m in matches:
+                c1 = load_cloud_pcd(
+                    os.path.join(point_cloud_dir, f"{m.query_idx:06d}.pcd"), capacity
+                )
+                c2 = load_cloud_pcd(
+                    os.path.join(point_cloud_dir, f"{m.match_idx:06d}.pcd"), capacity
+                )
+                with timer.stage("fine"):
+                    guess = jnp.asarray(
+                        yaw_rotation_4x4(
+                            m.angle_guess / 180.0 * math.pi
+                        ).astype(np.float32)
+                    )
+                    s_xyz, s_mask, _ = _voxel_full(c1, cfg.voxel_leaf)
+                    t_xyz, t_mask, _ = _voxel_full(c2, cfg.voxel_leaf)
+                    fine = icp_point_to_point(
+                        s_xyz, s_mask, t_xyz, t_mask, guess, cfg.fine
+                    )
+                    fine = jax.tree.map(np.asarray, jax.device_get(fine))
+                yield m, fine
+            return
+        for start in range(0, len(matches), pair_batch):
+            chunk = matches[start : start + pair_batch]
+            pairs = [
+                (
+                    load_cloud_pcd(
+                        os.path.join(point_cloud_dir, f"{m.query_idx:06d}.pcd"),
+                        capacity,
+                    ),
+                    load_cloud_pcd(
+                        os.path.join(point_cloud_dir, f"{m.match_idx:06d}.pcd"),
+                        capacity,
+                    ),
+                    m.angle_guess,
+                )
+                for m in chunk
+            ]
+            # short tail repeats the last loaded pair to keep the compiled shape
+            pairs += [pairs[-1]] * (pair_batch - len(chunk))
+            results = register_whole_pairs(pairs, cfg, timer=timer, mesh=mesh)
+            for m, fine in zip(chunk, results):
+                yield m, fine
+
+    for m, fine in result_stream():
         log.green(f"Processing match: {m.query_idx} and {m.match_idx}")
-        c1 = load_cloud_pcd(os.path.join(point_cloud_dir, f"{m.query_idx:06d}.pcd"), capacity)
-        c2 = load_cloud_pcd(os.path.join(point_cloud_dir, f"{m.match_idx:06d}.pcd"), capacity)
-        with timer.stage("fine"):
-            guess = jnp.asarray(
-                yaw_rotation_4x4(m.angle_guess / 180.0 * math.pi).astype(np.float32)
-            )
-            s_xyz, s_mask, _ = _voxel_full(c1, cfg.voxel_leaf)
-            t_xyz, t_mask, _ = _voxel_full(c2, cfg.voxel_leaf)
-            fine = icp_point_to_point(s_xyz, s_mask, t_xyz, t_mask, guess, cfg.fine)
-            fit = float(fine.fitness)
+        fit = float(fine.fitness)
         log.info(f"is icp converged: {bool(fine.converged)}, fitness score: {fit}")
         if fit > cfg.failure_fitness:
             log.red("3D ICP Failed. ")

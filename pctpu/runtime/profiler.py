@@ -11,6 +11,7 @@ TPU timeline inspection.
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 
@@ -19,6 +20,14 @@ class StageTimer:
     def __init__(self) -> None:
         self.totals_ms: dict[str, float] = defaultdict(float)
         self.counts: dict[str, int] = defaultdict(int)
+        self._lock = threading.Lock()
+
+    def add(self, name: str, ms: float, items: int = 1) -> None:
+        """Thread-safe accumulation — used by AsyncWriter worker threads to
+        report per-cloud writeback time into the same report."""
+        with self._lock:
+            self.totals_ms[name] += ms
+            self.counts[name] += items
 
     @contextlib.contextmanager
     def stage(self, name: str, items: int = 1):
@@ -26,8 +35,7 @@ class StageTimer:
         try:
             yield
         finally:
-            self.totals_ms[name] += (time.perf_counter() - start) * 1e3
-            self.counts[name] += items
+            self.add(name, (time.perf_counter() - start) * 1e3, items)
 
     def average_ms(self, name: str) -> float:
         c = self.counts.get(name, 0)

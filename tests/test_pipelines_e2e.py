@@ -64,6 +64,15 @@ def test_multi_bev_pipeline_e2e(selected_tree):
     out = run_multi_bev(selected_tree, "HDL_64E", batch_size=2, write_pngs=True)
     assert out.num_clouds == 5
 
+    # the reported [TIME] average covers the reference's span (device compute
+    # + BEV writeback, /root/reference/BatchMultiBevGen.cpp:731-749): the
+    # async-writer time must be measured into it, not dropped
+    assert out.avg_bev_write_ms_per_cloud > 0.0
+    assert out.avg_device_ms_per_cloud > 0.0
+    assert out.avg_ms_per_cloud == pytest.approx(
+        out.avg_device_ms_per_cloud + out.avg_bev_write_ms_per_cloud
+    )
+
     bin_dir = os.path.join(selected_tree, "output_multi_bev", "binary")
     bins = sorted(os.listdir(bin_dir))
     assert bins == [f"{i:06d}.bin" for i in range(5)]

@@ -234,3 +234,59 @@ def test_pair_batch_auto_capacity(tmp_path):
         report_path=str(tmp_path / "r.txt"),
     )
     assert len(reports) == 2 and all(r.success for r in reports)
+
+
+@pytest.mark.slow
+def test_whole_registration_batched_matches_sequential(tmp_path):
+    """run_batch_whole_registration with pair_batch / devices mirrors the
+    sequential path (same counts), exercising the shared batching plumbing
+    (/root/reference/BatchWholeRegistration.cpp:311-418)."""
+    import jax
+
+    from pctpu.io.pcd import write_pcd
+    from pctpu.pipelines.registration import run_batch_whole_registration
+
+    rng = np.random.default_rng(5)
+    xyz, labels = synth_scene(rng)
+    xyz2 = rigid(xyz, 6.0, [0.5, 0.5, 0.0]).astype(np.float32)
+    xyz3 = rigid(xyz, -4.0, [-0.5, 1.0, 0.0]).astype(np.float32)
+    cloud_dir = tmp_path / "clouds"
+    os.makedirs(cloud_dir)
+
+    def dump(idx, pts, labs):
+        n = len(pts)
+        write_pcd(
+            str(cloud_dir / f"{idx:06d}.pcd"),
+            {
+                "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+                "intensity": np.ones(n, np.float32),
+                "row": np.zeros(n, np.uint16), "col": np.zeros(n, np.uint16),
+                "t": np.zeros(n, np.uint32), "label": labs.astype(np.int16),
+            },
+        )
+
+    dump(0, xyz, labels)
+    dump(1, xyz2, labels)
+    dump(2, xyz3, labels)
+    match_file = tmp_path / "match_result.txt"
+    match_file.write_text("0 1 6.0\n0 2 -4.0\n2 1 10.0\n")
+
+    seq = run_batch_whole_registration(
+        str(match_file), str(cloud_dir),
+        report_path=str(tmp_path / "w1.txt"), pair_batch=1,
+    )
+    bat = run_batch_whole_registration(
+        str(match_file), str(cloud_dir),
+        report_path=str(tmp_path / "w2.txt"), pair_batch=2,  # padded tail
+    )
+    assert seq == bat
+    assert seq[0] + seq[1] == 3
+    # the reference-quirk report file exists and stays empty
+    assert (tmp_path / "w2.txt").read_text() == ""
+
+    if len(jax.devices()) >= 2:
+        mesh_counts = run_batch_whole_registration(
+            str(match_file), str(cloud_dir),
+            report_path=str(tmp_path / "w3.txt"), pair_batch=2, devices=2,
+        )
+        assert mesh_counts == seq
