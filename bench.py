@@ -191,6 +191,36 @@ def measure_tpu(ordered: bool = True, sensor: str = "HDL_64E",
     return k_stack * reps * BATCH / dt_compute
 
 
+def measure_registration_baseline(n_pairs: int = 5) -> dict:
+    """Single-core C++ two-stage ICP ms/pair on the bench scene
+    (native/baseline_registration.cpp — same algorithm as the reference,
+    grid NN standing in for PCL's kd-tree, which favors the baseline).
+    Returns the binary's JSON (best ms_per_pair of 3 runs)."""
+    exe = os.path.join(REPO, "native", "baseline_registration")
+    src = os.path.join(REPO, "native", "baseline_registration.cpp")
+    stale = os.path.exists(src) and (
+        not os.path.exists(exe)
+        or os.path.getmtime(exe) < os.path.getmtime(src)
+    )
+    if stale:
+        tmp = f"{exe}.build.{os.getpid()}"
+        subprocess.run(
+            ["g++", "-O2", "-std=c++14", "-o", tmp, src], check=True, cwd=REPO
+        )
+        os.replace(tmp, exe)
+    best = None
+    for _ in range(3):
+        out = json.loads(
+            subprocess.run(
+                [exe, str(n_pairs)], check=True, capture_output=True, text=True
+            ).stdout
+        )
+        if best is None or out["ms_per_pair"] < best["ms_per_pair"]:
+            best = out
+    assert best["successes"] == best["n_pairs"], best
+    return best
+
+
 def verify_on_device() -> str:
     """On-TPU verification gate (VERDICT round-2 item 5).
 
@@ -290,8 +320,12 @@ def verify_on_device() -> str:
     return "ok"
 
 
-def measure_registration() -> float:
-    """Fused two-stage registration pairs/sec on 65k-point synthetic scenes."""
+def measure_registration(seed_nn: bool = False) -> float:
+    """Fused two-stage registration pairs/sec on 65k-point synthetic scenes.
+
+    ``seed_nn=True`` measures the warm-start throughput mode
+    (RegistrationConfig.seed_nn — the registration analogue of the preprocess
+    tolerance compat)."""
     from pctpu.cloud import make_cloud
     from pctpu.pipelines.registration import register_pair
 
@@ -338,11 +372,23 @@ def measure_registration() -> float:
             float(np.asarray(p[0].xyz[0, 0]))
         return pairs
 
-    register_pairs(batch(1), flat_cap=16384)  # compile
-    timed = batch(100)
+    # flat_cap matches the CLI default (cli/batch_top_part_registration.py):
+    # the bench measures the out-of-the-box configuration, not a tuned one
+    # (the flat stage pads its voxel to flat_cap; the ICP stages bucket to
+    # the true counts either way)
+    from pctpu.config import RegistrationConfig
+    from pctpu.pipelines.registration import register_pairs_pipelined
+
+    cfg = RegistrationConfig(seed_nn=seed_nn)
+    register_pairs(batch(1), cfg, flat_cap=32768)  # compile
+    # timed: the production pipelined stream — batch k+1's load+coarse
+    # overlaps batch k's fine stage, like the batch driver
+    n_batches = 3
+    loaders = [functools.partial(batch, 100 + 7 * i) for i in range(n_batches)]
     t0 = time.perf_counter()
-    register_pairs(timed, flat_cap=16384)
-    return n_pairs / (time.perf_counter() - t0)
+    for _ in register_pairs_pipelined(iter(loaders), cfg, flat_cap=32768):
+        pass
+    return n_batches * n_pairs / (time.perf_counter() - t0)
 
 
 def main() -> int:
@@ -361,6 +407,8 @@ def main() -> int:
         hdl32_cps = measure_tpu(ordered=True, sensor="HDL_32E")
         os1_cps = measure_tpu(ordered=True, sensor="OS1_64")
         pairs_per_sec = measure_registration()
+        reg_base = measure_registration_baseline()
+        reg_base_pps = 1000.0 / reg_base["ms_per_pair"]
         with open(os.path.join(REPO, "bench_details.json"), "w") as f:
             json.dump(
                 {
@@ -375,6 +423,17 @@ def main() -> int:
                     "baseline_single_core_clouds_per_sec": round(baseline_cps, 3),
                     "baseline_ms_per_cloud": baseline_ms,
                     "registration_pairs_per_sec_65k": round(pairs_per_sec, 3),
+                    "registration_baseline_single_core_pairs_per_sec": round(
+                        reg_base_pps, 3
+                    ),
+                    "registration_baseline_ms_per_pair": reg_base["ms_per_pair"],
+                    "registration_baseline_stage_ms": {
+                        "coarse": reg_base["coarse_ms"],
+                        "fine": reg_base["fine_ms"],
+                    },
+                    "registration_vs_baseline": round(
+                        pairs_per_sec / reg_base_pps, 3
+                    ),
                     "verify": verify,
                 },
                 f,

@@ -218,8 +218,12 @@ def _diag_tile(i, j, nq_t, nt_t):
     return (i * nt_t // nq_t + j) % nt_t
 
 
-def _make_nn_pruned_kernel(nq_t, nt_t):
-    def _nn_pruned_kernel(qb_ref, tb_ref, thr_ref, q_ref, t_ref, val_ref, idx_ref):
+def _make_nn_pruned_kernel(nq_t, nt_t, seeded: bool = False):
+    def _nn_pruned_kernel(qb_ref, tb_ref, thr_ref, q_ref, t_ref, *rest):
+        if seeded:
+            sv_ref, si_ref, val_ref, idx_ref = rest
+        else:
+            val_ref, idx_ref = rest
         i = pl.program_id(0)
         j = pl.program_id(1)
         tt = t_ref.shape[1]
@@ -228,10 +232,28 @@ def _make_nn_pruned_kernel(nq_t, nt_t):
         @pl.when(j == 0)
         def _():
             # masked queries start at -BIG so they never update and never hold
-            # the dynamic bound open; valid queries start at +BIG
+            # the dynamic bound open; valid queries start at +BIG — or, when a
+            # warm-start seed is given, at the seed's (margin-padded) d² with
+            # the seed index: the seed d² is an upper bound of the true NN d²,
+            # so pruning against it stays exact up to the margin, and the
+            # dynamic bound starts tight instead of at +BIG
             masked = q_ref[4, :] > 0.5
-            val_ref[0, :] = jnp.where(masked, -jnp.float32(_BIG), jnp.float32(_BIG))
-            idx_ref[0, :] = jnp.zeros_like(idx_ref[0, :])
+            if seeded:
+                sv = sv_ref[0, :]
+                has = sv < jnp.float32(_BIG) / 2
+                val_ref[0, :] = jnp.where(
+                    masked,
+                    -jnp.float32(_BIG),
+                    jnp.where(has, sv, jnp.float32(_BIG)),
+                )
+                idx_ref[0, :] = jnp.where(
+                    masked | ~has, 0, si_ref[0, :]
+                ).astype(jnp.int32)
+            else:
+                val_ref[0, :] = jnp.where(
+                    masked, -jnp.float32(_BIG), jnp.float32(_BIG)
+                )
+                idx_ref[0, :] = jnp.zeros_like(idx_ref[0, :])
 
         # box-to-box squared gap
         gap = jnp.float32(0.0)
@@ -269,6 +291,86 @@ def _make_nn_pruned_kernel(nq_t, nt_t):
     return _nn_pruned_kernel
 
 
+def _make_nn_pruned_loop_kernel(nq_t, nt_t, tt, seeded: bool):
+    """1-D-grid variant: one grid step per q-tile, inner fori_loop over
+    t-tiles sliced from the FULL target planes held in VMEM.  The 2-D-grid
+    kernel pays its BlockSpec t-tile copy and a VPU→scalar bound readback on
+    every grid step whether or not the body runs, which pins the pass to
+    ~1.6 µs × (nq_t·nt_t) regardless of how well the bounds prune (measured:
+    seeding the bounds moved 49k² passes by <2%).  Here the whole (8, tp)
+    t-plane array is one VMEM block with a constant index map — loaded once
+    and revolved across grid steps — pruned steps cost only scalar-unit
+    arithmetic (the dynamic bound rides the loop carry as a scalar), and
+    visited tiles pay just the MXU/VPU work.  vmap-safe (used by the batched
+    registration stages), unlike a manual-DMA formulation (memory-space ANY
+    inputs reject nontrivial batched index maps)."""
+
+    def kernel(qb_ref, tb_ref, thr_ref, q_ref, *rest):
+        if seeded:
+            t_vmem, sv_ref, si_ref, val_ref, idx_ref = rest
+        else:
+            t_vmem, val_ref, idx_ref = rest
+        i = pl.program_id(0)
+
+        masked = q_ref[4, :] > 0.5
+        if seeded:
+            sv = sv_ref[0, :]
+            has = sv < jnp.float32(_BIG) / 2
+            val0 = jnp.where(
+                masked, -jnp.float32(_BIG),
+                jnp.where(has, sv, jnp.float32(_BIG)),
+            )
+            idx0 = jnp.where(masked | ~has, 0, si_ref[0, :]).astype(jnp.int32)
+        else:
+            val0 = jnp.where(masked, -jnp.float32(_BIG), jnp.float32(_BIG))
+            idx0 = jnp.zeros_like(idx_ref[0, :])
+        val_ref[0, :] = val0
+        idx_ref[0, :] = idx0
+
+        q2 = q_ref[0, :] ** 2 + q_ref[1, :] ** 2 + q_ref[2, :] ** 2
+
+        def do_visit(jj, bound):
+            t_tile = t_vmem[:, pl.ds(jj * tt, tt)]
+            cross = jax.lax.dot_general(
+                q_ref[:],
+                t_tile,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (TQ, TT)
+            score = t_tile[3, :][None, :] - 2.0 * cross
+            local_best = jnp.min(score, axis=1) + q2
+            local_arg = jnp.argmin(score, axis=1).astype(jnp.int32) + jj * tt
+            better = (local_best < val_ref[0, :]) | (
+                (local_best == val_ref[0, :]) & (local_arg < idx_ref[0, :])
+            )
+            val_ref[0, :] = jnp.where(better, local_best, val_ref[0, :])
+            idx_ref[0, :] = jnp.where(better, local_arg, idx_ref[0, :])
+            return jnp.minimum(thr_ref[0], jnp.max(val_ref[0, :]))
+
+        # the dynamic bound rides the loop carry as a SCALAR: recomputing
+        # min(thr, max(val)) every step costs a VPU→scalar readback (~1.5 µs,
+        # the dominant per-step cost of the 2-D kernel); val only changes on
+        # visited tiles, so the carried bound is exact and pruned steps pay
+        # scalar-unit arithmetic only
+        def visit(j, bound):
+            jj = (i * nt_t // nq_t + j) % nt_t
+            gap = jnp.float32(0.0)
+            for d in range(3):
+                lo_q, hi_q = qb_ref[d, i], qb_ref[3 + d, i]
+                lo_t, hi_t = tb_ref[d, jj], tb_ref[3 + d, jj]
+                g = jnp.maximum(jnp.maximum(lo_t - hi_q, lo_q - hi_t), 0.0)
+                gap = gap + g * g
+            return jax.lax.cond(
+                gap <= bound, do_visit, lambda _, b: b, jj, bound
+            )
+
+        bound0 = jnp.minimum(thr_ref[0], jnp.max(val_ref[0, :]))
+        jax.lax.fori_loop(0, nt_t, visit, bound0)
+
+    return kernel
+
+
 @functools.partial(
     jax.jit, static_argnames=("tq", "tt", "max_distance", "interpret")
 )
@@ -279,8 +381,11 @@ def pallas_nn_1_pruned(
     target_mask: jnp.ndarray,
     max_distance: float | None = None,
     tq: int = 256,
-    tt: int = 2048,
+    tt: int = 1024,
     interpret: bool = False,
+    seed_idx: jnp.ndarray | None = None,
+    seed_d2: jnp.ndarray | None = None,
+    seed_margin: float = 0.05,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """1-NN with block pruning, exact up to score-domain ties.  Both clouds
     MUST be spatially sorted (``spatial_sort``) for the pruning to bite.
@@ -291,7 +396,21 @@ def pallas_nn_1_pruned(
     from such ties results match the exact oracle index-for-index (tested);
     the returned distance is always re-derived exactly from the winner's
     coordinates.  Queries with no target within ``max_distance`` return
-    +inf."""
+    +inf.
+
+    ``seed_idx``/``seed_d2`` (both (Q,)) warm-start the search: per query, a
+    known target index and its EXACT squared distance (+inf = no seed, e.g.
+    the first ICP iteration or a query without a prior correspondence).  The
+    running (val, idx) accumulator initializes to (seed_d2 + seed_margin,
+    seed_idx) instead of (+BIG, 0), so the per-tile dynamic bound is tight
+    from the first visited block — in ICP each iteration seeds with the
+    previous iteration's winners, cutting pass time ~2-3× (measured,
+    docs/PERFORMANCE.md).  Correctness: seed_d2 upper-bounds the true NN d²,
+    so a pruned tile's every target satisfies d² ≥ gap > bound ≥ true-NN +
+    margin and cannot win; ``seed_margin`` must exceed the MXU score error
+    (~|p|²·2⁻²³ ≈ 5e-3 at ±100 m — default 0.05 is ~10× that), which widens
+    the documented near-tie window from ~5e-3 to ``seed_margin`` in d².
+    """
     qn = query.shape[0]
     tn = target.shape[0]
     qp = -(-qn // tq) * tq
@@ -316,31 +435,99 @@ def pallas_nn_1_pruned(
     )
 
     nq_t, nt_t = qp // tq, tp // tt
-    grid = (nq_t, nt_t)
-    val, idx = pl.pallas_call(
-        _make_nn_pruned_kernel(nq_t, nt_t),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # q bboxes
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # t bboxes
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # threshold²
-            pl.BlockSpec((8, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (8, tt),
-                lambda i, j: (0, _diag_tile(i, j, nq_t, nt_t)),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
+    seeded = seed_idx is not None
+    sv = si = None
+    if seeded:
+        assert seed_d2 is not None
+        sv = jnp.full((1, qp), jnp.float32(_BIG))
+        sv = sv.at[0, :qn].set(
+            jnp.minimum(
+                seed_d2.astype(jnp.float32)
+                + jnp.asarray(seed_margin, jnp.float32),
+                jnp.float32(_BIG),
+            )
+        )
+        si = jnp.zeros((1, qp), jnp.int32).at[0, :qn].set(
+            jnp.clip(seed_idx.astype(jnp.int32), 0, tn - 1)
+        )
+    seed_specs = (
+        [
             pl.BlockSpec((1, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, qp), jnp.float32),
-            jax.ShapeDtypeStruct((1, qp), jnp.int32),
-        ],
-        interpret=interpret,
-    )(q_bbox, t_bbox, thr, q_planes, t_planes)
+        ]
+        if seeded
+        else []
+    )
+    out_spec_2d = [
+        pl.BlockSpec((1, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, qp), jnp.float32),
+        jax.ShapeDtypeStruct((1, qp), jnp.int32),
+    ]
+    if interpret:
+        # interpret mode (CPU tests) keeps the 2-D-grid kernel: manual DMA
+        # semaphores are TPU-lowering constructs
+        val, idx = pl.pallas_call(
+            _make_nn_pruned_kernel(nq_t, nt_t, seeded=seeded),
+            grid=(nq_t, nt_t),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # q bboxes
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # t bboxes
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # threshold²
+                pl.BlockSpec((8, tq), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (8, tt),
+                    lambda i, j: (0, _diag_tile(i, j, nq_t, nt_t)),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+            + seed_specs,
+            out_specs=out_spec_2d,
+            out_shape=out_shape,
+            interpret=True,
+        )(*([q_bbox, t_bbox, thr, q_planes, t_planes]
+            + ([sv, si] if seeded else [])))
+    else:
+        # compiled TPU path: 1-D grid + inner pruning loop over t-tiles
+        # sliced from the full VMEM-resident t planes (constant index map →
+        # loaded once, revolved) — pass time scales with visited tiles, not
+        # grid size, and the formulation is vmap-safe for the batched
+        # registration stages
+        seed_specs_1d = (
+            [
+                pl.BlockSpec((1, tq), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tq), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ]
+            if seeded
+            else []
+        )
+        val, idx = pl.pallas_call(
+            _make_nn_pruned_loop_kernel(nq_t, nt_t, tt, seeded=seeded),
+            grid=(nq_t,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # q bboxes
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # t bboxes
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # threshold²
+                pl.BlockSpec((8, tq), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, tp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),  # full t planes
+            ]
+            + seed_specs_1d,
+            out_specs=[
+                pl.BlockSpec((1, tq), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tq), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=out_shape,
+        )(*([q_bbox, t_bbox, thr, q_planes, t_planes]
+            + ([sv, si] if seeded else [])))
 
     idx = idx[0, :qn]
     idx = jnp.clip(idx, 0, tn - 1)

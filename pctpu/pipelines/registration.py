@@ -202,7 +202,7 @@ def _stage_fine(s_xyz, s_mask, t_xyz, t_mask, guess, cfg: RegistrationConfig,
                 bucket: int, nn_impl: str = "auto", mesh=None):
     return icp_point_to_point(
         s_xyz[:bucket], s_mask[:bucket], t_xyz[:bucket], t_mask[:bucket],
-        guess, cfg.fine, nn_impl=nn_impl, mesh=mesh,
+        guess, cfg.fine, nn_impl=nn_impl, mesh=mesh, seed_nn=cfg.seed_nn,
     )
 
 
@@ -222,6 +222,22 @@ def register_pairs(
     (len(pairs) must be a multiple of it) — pure data parallelism, results
     identical to the unsharded run."""
     timer = timer or StageTimer()
+    c1, c2, best = _coarse_stage_batched(pairs, cfg, flat_cap, timer, mesh)
+    n = len(pairs)
+    if not cfg.use_refinement:
+        return [
+            (jax.tree.map(lambda a: a[i], best), None) for i in range(n)
+        ]
+    fine = _fine_stage_batched(c1, c2, best, cfg, timer)
+    return [
+        (jax.tree.map(lambda x: x[i], best), jax.tree.map(lambda x: x[i], fine))
+        for i in range(n)
+    ]
+
+
+def _coarse_stage_batched(pairs, cfg, flat_cap, timer, mesh):
+    """Stack + flat prep + both coarse ICPs for one pair batch (the
+    reference's 1st-stage span).  Returns (c1, c2, best-as-numpy)."""
     c1 = _stack_pairs([p[0] for p in pairs])
     c2 = _stack_pairs([p[1] for p in pairs])
     guesses = jnp.asarray(np.stack([_guess_pair_np(p[2]) for p in pairs]))
@@ -259,12 +275,12 @@ def register_pairs(
             lambda sx, sm, tx, tm, g: _stage_coarse(sx, sm, tx, tm, g, cfg, bucket)
         )(s[0], s[1], t[0], t[1], guesses)
         best = jax.tree.map(np.asarray, jax.device_get(best))
+    return c1, c2, best
 
-    if not cfg.use_refinement:
-        return [
-            (jax.tree.map(lambda a: a[i], best), None) for i in range(n)
-        ]
 
+def _fine_stage_batched(c1, c2, best, cfg, timer):
+    """Full-cloud voxel + fine ICP for one pair batch (2nd-stage span)."""
+    n = int(np.asarray(best.fitness).shape[0])
     with timer.stage("fine", items=n):
         a, b, chk2 = jax.vmap(
             lambda x, y: _stage_voxel_full(x, y, cfg.voxel_leaf)
@@ -281,11 +297,60 @@ def register_pairs(
             lambda sx, sm, tx, tm, g: _stage_fine(sx, sm, tx, tm, g, cfg, fbucket)
         )(a[0], a[1], b[0], b[1], jnp.asarray(best.transform))
         fine = jax.tree.map(np.asarray, jax.device_get(fine))
+    return fine
 
-    return [
-        (jax.tree.map(lambda x: x[i], best), jax.tree.map(lambda x: x[i], fine))
-        for i in range(n)
-    ]
+
+def register_pairs_pipelined(
+    batch_loaders,
+    cfg: RegistrationConfig = RegistrationConfig(),
+    flat_cap: int = 32768,
+    timer: StageTimer | None = None,
+    mesh: "jax.sharding.Mesh | None" = None,
+):
+    """Software-pipelined batch registration over a STREAM of pair batches.
+
+    ``batch_loaders`` yields thunks; each returns one ``register_pairs``-style
+    pair list.  Batch k+1's load + stack + flat/coarse stage (including its
+    host↔device stat roundtrips) runs on a worker thread while the main
+    thread runs batch k's voxel + fine stage — the reference's two [TIME]
+    stages of CONSECUTIVE batches overlap (the per-pair loop
+    /root/reference/BatchTopPartRegistration.cpp:356-532 is fully serial), so
+    pair loading, host work, and dispatch latency hide behind device compute.
+    Per-batch results are identical to ``register_pairs`` (same programs,
+    same buckets — only the wall-clock interleaving changes).
+
+    Yields one result list per batch, in order.
+    """
+    import concurrent.futures
+
+    timer = timer or StageTimer()
+
+    def coarse_half(loader):
+        pairs = loader()
+        c1, c2, best = _coarse_stage_batched(pairs, cfg, flat_cap, timer, mesh)
+        return len(pairs), c1, c2, best
+
+    def fine_half(n, c1, c2, best):
+        if not cfg.use_refinement:
+            return [
+                (jax.tree.map(lambda a: a[i], best), None) for i in range(n)
+            ]
+        fine = _fine_stage_batched(c1, c2, best, cfg, timer)
+        return [
+            (jax.tree.map(lambda x: x[i], best),
+             jax.tree.map(lambda x: x[i], fine))
+            for i in range(n)
+        ]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+        fut = None
+        for loader in batch_loaders:
+            nxt = ex.submit(coarse_half, loader)
+            if fut is not None:
+                yield fine_half(*fut.result())
+            fut = nxt
+        if fut is not None:
+            yield fine_half(*fut.result())
 
 
 def register_whole_pairs(
@@ -496,27 +561,46 @@ def run_batch_top_part_registration(
                 )
                 yield m, best, fine
             return
-        for start in range(0, len(matches), pair_batch):
-            chunk = matches[start : start + pair_batch]
-            pairs = [
-                (
-                    load_cloud_pcd(
-                        os.path.join(point_cloud_dir, f"{m.query_idx:06d}.pcd"),
-                        capacity,
-                    ),
-                    load_cloud_pcd(
-                        os.path.join(point_cloud_dir, f"{m.match_idx:06d}.pcd"),
-                        capacity,
-                    ),
-                    m.angle_guess,
-                )
-                for m in chunk
-            ]
-            # a short tail repeats its last LOADED pair to keep the compiled
-            # shape (re-loading per padded slot would re-read the same pcds)
-            pairs += [pairs[-1]] * (pair_batch - len(chunk))
-            results = register_pairs(pairs, cfg, flat_cap=flat_cap, timer=timer,
-                                     mesh=mesh)
+        chunks = [
+            matches[start : start + pair_batch]
+            for start in range(0, len(matches), pair_batch)
+        ]
+
+        def chunk_loader(chunk):
+            def load():
+                pairs = [
+                    (
+                        load_cloud_pcd(
+                            os.path.join(
+                                point_cloud_dir, f"{m.query_idx:06d}.pcd"
+                            ),
+                            capacity,
+                        ),
+                        load_cloud_pcd(
+                            os.path.join(
+                                point_cloud_dir, f"{m.match_idx:06d}.pcd"
+                            ),
+                            capacity,
+                        ),
+                        m.angle_guess,
+                    )
+                    for m in chunk
+                ]
+                # a short tail repeats its last LOADED pair to keep the
+                # compiled shape (re-loading per padded slot would re-read
+                # the same pcds)
+                pairs += [pairs[-1]] * (pair_batch - len(chunk))
+                return pairs
+
+            return load
+
+        # software pipeline: batch k+1 loads + runs its coarse stage on a
+        # worker thread while batch k's fine stage runs here
+        stream = register_pairs_pipelined(
+            (chunk_loader(c) for c in chunks), cfg, flat_cap=flat_cap,
+            timer=timer, mesh=mesh,
+        )
+        for chunk, results in zip(chunks, stream):
             for m, (best, fine) in zip(chunk, results):
                 yield m, best, fine
 

@@ -172,3 +172,69 @@ def test_icp_pruned_nan_normal_not_poisoning():
         assert np.isfinite(float(r.fitness))
     np.testing.assert_allclose(np.asarray(a.transform), np.asarray(b.transform),
                                atol=1e-5)
+
+
+def test_pruned_nn_seeded_matches_unseeded():
+    """Warm-start seeds (perfect / absent / partial / stale) leave results
+    exact: seed d² upper-bounds the true NN d², so seeded pruning can only
+    skip targets that cannot win (pallas_nn_1_pruned docstring)."""
+    import jax.numpy as jnp
+
+    from pctpu.ops.knn import nn_1
+    from pctpu.ops.pallas_knn import pallas_nn_1_pruned, spatial_sort
+
+    rng = np.random.default_rng(12)
+    n, m = 700, 2500
+    q = rng.uniform(-50, 50, (n, 3)).astype(np.float32)
+    t = rng.uniform(-50, 50, (m, 3)).astype(np.float32)
+    qs, qm, _ = spatial_sort(jnp.asarray(q), jnp.ones(n, bool))
+    ts, tm, _ = spatial_sort(jnp.asarray(t), jnp.ones(m, bool))
+    i_ref, d_ref = nn_1(qs, qm, ts, tm)
+    stale_idx = jnp.roll(i_ref, 13)
+    stale_d2 = jnp.sum((qs - ts[stale_idx]) ** 2, axis=1)
+    for sidx, sd2 in [
+        (i_ref, d_ref),
+        (jnp.zeros(n, jnp.int32), jnp.full(n, jnp.inf)),
+        (i_ref, jnp.where(jnp.arange(n) % 3 == 0, d_ref, jnp.inf)),
+        (stale_idx, stale_d2),
+    ]:
+        i_s, d_s = pallas_nn_1_pruned(qs, qm, ts, tm, interpret=True,
+                                      seed_idx=sidx, seed_d2=sd2)
+        np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_ref))
+        np.testing.assert_array_equal(np.asarray(d_s), np.asarray(d_ref))
+    # thresholded + seeded: winners within the gate match exactly
+    i_s, d_s = pallas_nn_1_pruned(qs, qm, ts, tm, max_distance=2.0,
+                                  interpret=True, seed_idx=i_ref, seed_d2=d_ref)
+    within = np.asarray(d_ref) <= 4.0
+    np.testing.assert_array_equal(np.asarray(i_s)[within],
+                                  np.asarray(i_ref)[within])
+
+
+def test_icp_seed_nn_matches_unseeded():
+    """seed_nn=True reproduces the unseeded ICP bit-for-bit on a scene with
+    no near-ties (same winners per iteration → same transforms/fitness)."""
+    import jax.numpy as jnp
+
+    from pctpu.config import FINE_ICP
+    from pctpu.ops.icp import icp_point_to_point
+
+    rng = np.random.default_rng(4)
+    n = 2000
+    pts = rng.uniform(-50, 50, (n, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-2, 8, n).astype(np.float32)
+    th = np.radians(3.0)
+    rot = np.array([[np.cos(th), -np.sin(th), 0],
+                    [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    tgt = pts @ rot.T + np.float32([0.3, -0.2, 0])
+    m = jnp.ones(n, bool)
+    a = icp_point_to_point(jnp.asarray(pts), m, jnp.asarray(tgt), m,
+                           jnp.eye(4, dtype=jnp.float32), FINE_ICP,
+                           nn_impl="pruned_interpret")
+    b = icp_point_to_point(jnp.asarray(pts), m, jnp.asarray(tgt), m,
+                           jnp.eye(4, dtype=jnp.float32), FINE_ICP,
+                           nn_impl="pruned_interpret", seed_nn=True)
+    assert bool(a.converged) == bool(b.converged)
+    np.testing.assert_allclose(np.asarray(a.transform),
+                               np.asarray(b.transform), atol=1e-3)
+    np.testing.assert_allclose(float(a.fitness), float(b.fitness),
+                               rtol=1e-3, atol=1e-6)
