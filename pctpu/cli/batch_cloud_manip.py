@@ -3,7 +3,7 @@
 
 import sys
 
-from pctpu.cli._common import split_args, usage_exit
+from pctpu.cli._common import int_kw, split_args, usage_exit
 from pctpu.pipelines.batch_cloud_manip import run_batch_cloud_manip
 
 

@@ -1,0 +1,285 @@
+#!/usr/bin/env python3
+"""Reference-parity harness-in-a-box.
+
+On a machine WITH PCL/OpenCV/Boost, this script:
+
+  1. builds the reference C++ toolchain (/root/reference/CMakeLists.txt:41-154)
+     out-of-tree (never writes into the reference checkout);
+  2. synthesizes a miniature KITTI-layout dataset (tests/fixtures.py);
+  3. runs the five BASELINE.json configs through BOTH stacks —
+       kitti_point_cloud_select, batch_multi_bev_gen HDL_64E, cloud_manip,
+       batch_cloud_manip, batch_top_part_registration;
+  4. reports byte / pixel / degree diffs against the north-star acceptance
+     window (<1 px BEV, <0.5° yaw — BASELINE.json:5).
+
+Where PCL is absent (e.g. the TPU build image this repo is developed in), it
+prints what is missing and exits 0 with SKIPPED — the fidelity claim then
+rests on the transcribed plain-loop oracles (tests/ref_impl.py), and this
+script is the packaged path to upgrade it to reference-verified on any
+workstation with the deps.
+
+Usage:  python scripts/run_reference_parity.py [--workdir DIR] [--keep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import filecmp
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+ACCEPT_PX = 1.0      # BEV pixel deviation window (BASELINE.json:5)
+ACCEPT_YAW_DEG = 0.5  # yaw deviation window
+
+sys.path.insert(0, REPO)
+
+
+def log(msg: str) -> None:
+    print(f"[parity] {msg}", flush=True)
+
+
+def check_deps() -> list[str]:
+    """Return the list of missing build prerequisites (empty = buildable)."""
+    missing = []
+    if shutil.which("cmake") is None:
+        missing.append("cmake")
+    # PCL and OpenCV are found via cmake config packages; probe with a tiny
+    # configure instead of guessing include paths
+    probe = tempfile.mkdtemp(prefix="parity_probe_")
+    try:
+        with open(os.path.join(probe, "CMakeLists.txt"), "w") as f:
+            f.write(
+                "cmake_minimum_required(VERSION 3.10)\nproject(probe)\n"
+                "find_package(PCL REQUIRED COMPONENTS common io)\n"
+                "find_package(OpenCV REQUIRED)\n"
+                "find_package(Boost REQUIRED COMPONENTS program_options)\n"
+            )
+        r = subprocess.run(
+            ["cmake", "-S", probe, "-B", os.path.join(probe, "b")],
+            capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            for dep in ("PCL", "OpenCV", "Boost"):
+                if dep.lower() in (r.stderr + r.stdout).lower():
+                    missing.append(dep)
+            if not missing:
+                missing.append(f"cmake configure failed: {r.stderr[-400:]}")
+    finally:
+        shutil.rmtree(probe, ignore_errors=True)
+    return missing
+
+
+def build_reference(workdir: str) -> dict[str, str] | None:
+    """Configure+build the reference out-of-tree; returns tool→path map."""
+    build = os.path.join(workdir, "build")
+    r = subprocess.run(
+        ["cmake", "-S", REFERENCE, "-B", build, "-DCMAKE_BUILD_TYPE=Release"],
+        capture_output=True, text=True,
+    )
+    if r.returncode != 0:
+        log(f"reference cmake configure FAILED:\n{r.stderr[-2000:]}")
+        return None
+    r = subprocess.run(
+        ["cmake", "--build", build, "-j", str(os.cpu_count() or 2)],
+        capture_output=True, text=True,
+    )
+    if r.returncode != 0:
+        log(f"reference build FAILED:\n{r.stderr[-2000:]}")
+        return None
+    tools = {}
+    for t in (
+        "kitti_point_cloud_select", "batch_multi_bev_gen", "cloud_manip",
+        "batch_cloud_manip", "batch_top_part_registration",
+    ):
+        for root, _, files in os.walk(build):
+            if t in files:
+                tools[t] = os.path.join(root, t)
+                break
+    return tools
+
+
+def run(cmd: list[str], **kw) -> subprocess.CompletedProcess:
+    log("run: " + " ".join(map(str, cmd)))
+    return subprocess.run(list(map(str, cmd)), check=True, capture_output=True,
+                          text=True, **kw)
+
+
+def pctpu_cli(tool: str, *args: str) -> None:
+    env = dict(os.environ)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", f"pctpu.cli.{tool}", *map(str, args)],
+        cwd=REPO, env=env, capture_output=True, text=True,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(f"pctpu {tool} failed:\n{r.stderr[-2000:]}")
+
+
+def diff_trees(ref_dir: str, got_dir: str, label: str,
+               report: list[str]) -> None:
+    """Byte-compare every file under ref_dir against got_dir; PNG/csv BEVs
+    that differ get a pixel-level diff within the acceptance window."""
+    import numpy as np
+
+    for root, _, files in os.walk(ref_dir):
+        for f in sorted(files):
+            rp = os.path.join(root, f)
+            rel = os.path.relpath(rp, ref_dir)
+            gp = os.path.join(got_dir, rel)
+            if not os.path.exists(gp):
+                report.append(f"MISSING  {label}/{rel}")
+                continue
+            if filecmp.cmp(rp, gp, shallow=False):
+                report.append(f"BYTES-OK {label}/{rel}")
+                continue
+            if f.endswith(".png"):
+                try:
+                    from tests.test_png import read_gray_png
+
+                    a, b = read_gray_png(rp), read_gray_png(gp)
+                    d = np.abs(a.astype(int) - b.astype(int))
+                    status = "PX-OK" if d.max() == 0 else (
+                        f"PX-DIFF max={d.max()} n={(d > 0).sum()}"
+                    )
+                    report.append(f"{status} {label}/{rel}")
+                    continue
+                except Exception as exc:  # decoding mismatch IS a finding
+                    report.append(f"PX-ERR   {label}/{rel}: {exc}")
+                    continue
+            report.append(f"BYTES-DIFF {label}/{rel}")
+
+
+def parity_registration(ref_report: str, got_report: str,
+                        report: list[str]) -> None:
+    """Compare icp_precision_report rows: the reference records fine-vs-
+    coarse (Δxy, Δyaw) per successful pair (BatchTopPartRegistration.cpp:
+    512-527); parity = both stacks inside the acceptance window."""
+    ra = [l.split() for l in open(ref_report) if l.strip()]
+    rb = [l.split() for l in open(got_report) if l.strip()]
+    if len(ra) != len(rb):
+        report.append(
+            f"REG-DIFF row count {len(ra)} vs {len(rb)} (success sets differ)"
+        )
+        return
+    worst_yaw = 0.0
+    for (x1, y1), (x2, y2) in zip(ra, rb):
+        worst_yaw = max(worst_yaw, abs(float(y1) - float(y2)))
+    status = "REG-OK" if worst_yaw <= ACCEPT_YAW_DEG else "REG-FAIL"
+    report.append(f"{status} max |Δyaw(ref) − Δyaw(pctpu)| = {worst_yaw:.4f}°")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    missing = check_deps()
+    if missing:
+        log(f"SKIPPED: reference build prerequisites missing: {missing}")
+        log("run this script on a machine with PCL/OpenCV/Boost to upgrade "
+            "the fidelity claim from oracle-verified to reference-verified")
+        return 0
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix="pctpu_parity_")
+    os.makedirs(workdir, exist_ok=True)
+    log(f"workdir: {workdir}")
+    tools = build_reference(workdir)
+    if not tools:
+        return 1
+    log(f"reference tools built: {sorted(tools)}")
+
+    from tests.fixtures import make_kitti_tree
+
+    report: list[str] = []
+
+    # two identical dataset copies — both stacks wipe/create output dirs
+    # inside the tree, so they must not share one
+    ds_ref = os.path.join(workdir, "ds_ref")
+    ds_got = os.path.join(workdir, "ds_got")
+    for d in (ds_ref, ds_got):
+        make_kitti_tree(d, num_frames=8, spacing=3.0)
+
+    # --- config 4: kitti_point_cloud_select @ 2 m ---------------------------
+    run([tools["kitti_point_cloud_select"], ds_ref, "2.0"])
+    pctpu_cli("kitti_point_cloud_select", ds_got, "2.0")
+    sel = "selected_keyframes_2.00m"
+    diff_trees(os.path.join(ds_ref, sel), os.path.join(ds_got, sel),
+               "select", report)
+
+    # --- config 3: batch_multi_bev_gen HDL_64E ------------------------------
+    run([tools["batch_multi_bev_gen"], os.path.join(ds_ref, sel) + "/",
+         "HDL_64E"])
+    pctpu_cli("batch_multi_bev_gen", os.path.join(ds_got, sel), "HDL_64E")
+    for sub in ("output_multi_bev/binary", "output_single_bev/csv",
+                "output_single_bev/image", "non_ground_point_cloud",
+                "output_multi_bev/image"):
+        diff_trees(os.path.join(ds_ref, sel, sub),
+                   os.path.join(ds_got, sel, sub), sub, report)
+    lbl_ref = os.path.join(ds_ref, sel, "keyframe_label.csv")
+    lbl_got = os.path.join(ds_got, sel, "keyframe_label.csv")
+    report.append(
+        ("BYTES-OK" if filecmp.cmp(lbl_ref, lbl_got, shallow=False)
+         else "BYTES-DIFF") + " keyframe_label.csv"
+    )
+
+    # --- config 1: cloud_manip ---------------------------------------------
+    pcd0_ref = os.path.join(ds_ref, sel, "keyframe_point_cloud", "000000.pcd")
+    pcd0_got = os.path.join(ds_got, sel, "keyframe_point_cloud", "000000.pcd")
+    cm_ref = os.path.join(workdir, "cm_ref")
+    cm_got = os.path.join(workdir, "cm_got")
+    os.makedirs(cm_ref); os.makedirs(cm_got)
+    run([tools["cloud_manip"], pcd0_ref, "1.0", "2.0", "0.0", "30"],
+        cwd=cm_ref)
+    pctpu_cli("cloud_manip", pcd0_got, "1.0", "2.0", "0.0", "30",
+              f"--output-dir={cm_got}")
+    diff_trees(cm_ref, cm_got, "cloud_manip", report)
+
+    # --- config 2: batch_cloud_manip ----------------------------------------
+    run([tools["batch_cloud_manip"], os.path.join(ds_ref, sel) + "/"])
+    pctpu_cli("batch_cloud_manip", os.path.join(ds_got, sel))
+    diff_trees(os.path.join(ds_ref, sel, "output_bvm"),
+               os.path.join(ds_got, sel, "output_bvm"), "bvm", report)
+
+    # --- config 5: batch_top_part_registration ------------------------------
+    mr = os.path.join(workdir, "match_result.txt")
+    with open(mr, "w") as f:
+        f.write("0 1 0.0\n1 2 0.0\n2 3 0.0\n")
+    ng_ref = os.path.join(ds_ref, sel, "non_ground_point_cloud")
+    ng_got = os.path.join(ds_got, sel, "non_ground_point_cloud")
+    run([tools["batch_top_part_registration"], mr, ng_ref + "/"],
+        cwd=os.path.join(workdir, "cm_ref"))
+    pctpu_cli("batch_top_part_registration", mr, ng_got,
+              f"--report={workdir}/icp_precision_report_pctpu.txt")
+    parity_registration(
+        os.path.join(workdir, "cm_ref", "icp_precision_report.txt"),
+        f"{workdir}/icp_precision_report_pctpu.txt", report)
+
+    print("\n===== parity report =====")
+    bad = 0
+    for line in report:
+        print(line)
+        tag = line.split()[0]
+        if tag in ("MISSING", "BYTES-DIFF", "PX-ERR", "REG-FAIL"):
+            bad += 1
+        elif tag == "PX-DIFF":
+            # inside-window pixel diffs are findings but not failures
+            try:
+                if float(line.split("max=")[1].split()[0]) > ACCEPT_PX:
+                    bad += 1
+            except Exception:
+                bad += 1
+    print(f"===== {len(report)} comparisons, {bad} outside the acceptance "
+          f"window =====")
+    if not args.keep and args.workdir is None:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,51 @@
+"""scripts/run_reference_parity.py: graceful skip without PCL, and the CLI
+invocation path the harness uses (catches missing-import class of bugs)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_parity_harness_skips_gracefully_without_pcl():
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_reference_parity.py")],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    # on a PCL machine this would run the full comparison; here it must
+    # skip cleanly (exit 0) and say why
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SKIPPED" in r.stdout or "parity report" in r.stdout
+
+
+def test_batch_cloud_manip_cli_runs(tmp_path):
+    """The harness drives batch_cloud_manip via argv — the CLI must actually
+    run (a missing int_kw import made every real invocation NameError)."""
+    from pctpu.cloud import make_cloud
+    from pctpu.io.pcd import save_cloud_pcd
+
+    root = tmp_path / "tree"
+    (root / "keyframe_point_cloud").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    n = 300
+    xyz = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    xyz[:, 2] = rng.uniform(-2.2, 3.0, n).astype(np.float32)
+    c = make_cloud(
+        xyz,
+        intensity=rng.random(n).astype(np.float32),
+        row=rng.integers(0, 64, n).astype(np.int32),
+        col=rng.integers(0, 2083, n).astype(np.int32),
+        label=np.full(n, -2, np.int32),
+    )
+    save_cloud_pcd(str(root / "keyframe_point_cloud" / "000000.pcd"), c)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "pctpu.cli.batch_cloud_manip", str(root),
+         "--batch-size=2"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (root / "output_bvm").is_dir()
