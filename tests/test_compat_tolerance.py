@@ -93,3 +93,37 @@ def test_mark_ground_rejects_unknown_compat():
     ordered = get_ordered_cloud(to_cloud(pts), SMALL)
     with pytest.raises(ValueError, match="compat"):
         mark_ground(ordered, SMALL, compat="fast")
+
+
+@pytest.mark.slow
+def test_run_multi_bev_tolerance_outputs_byte_identical(tmp_path):
+    """End-to-end: the flagship pipeline in tolerance mode writes
+    byte-identical artifacts to the bit-exact default on a mini KITTI tree
+    (CLI flag --compat=tolerance)."""
+    import filecmp
+    import os
+
+    from tests.fixtures import make_kitti_tree
+
+    from pctpu.pipelines.multi_bev import run_multi_bev
+    from pctpu.pipelines.selectors import run_kitti_select
+
+    trees = {}
+    for compat in ("bitexact", "tolerance"):
+        root = str(tmp_path / compat)
+        make_kitti_tree(root, num_frames=3, spacing=3.0)
+        run_kitti_select(root, 2.0)
+        sel = os.path.join(root, "selected_keyframes_2.00m")
+        out = run_multi_bev(sel, "HDL_64E", batch_size=2, write_pngs=False,
+                            compat=compat)
+        assert out.num_clouds == 3
+        trees[compat] = sel
+    for sub in ("output_multi_bev/binary", "output_single_bev/csv",
+                "non_ground_point_cloud"):
+        a = os.path.join(trees["bitexact"], sub)
+        b = os.path.join(trees["tolerance"], sub)
+        files = sorted(os.listdir(a))
+        assert files == sorted(os.listdir(b))
+        for f in files:
+            assert filecmp.cmp(os.path.join(a, f), os.path.join(b, f),
+                               shallow=False), f"{sub}/{f}"
