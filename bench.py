@@ -261,9 +261,14 @@ def verify_on_device() -> str:
         i_ref, d_ref = nn_1(q, qm, t, tm)
         i_thr, d_thr = pallas_nn_1_pruned(q, qm, t, tm, max_distance=1.0)
         i_fit, d_fit = pallas_nn_1_pruned(q, qm, t, tm, max_distance=None)
-        return i_ref, d_ref, i_thr, d_thr, i_fit, d_fit
+        # warm-start path (RegistrationConfig.seed_nn): seed with the oracle
+        # winners — must reproduce them
+        i_sd, d_sd = pallas_nn_1_pruned(
+            q, qm, t, tm, seed_idx=i_ref, seed_d2=d_ref
+        )
+        return i_ref, d_ref, i_thr, d_thr, i_fit, d_fit, i_sd, d_sd
 
-    i_ref, d_ref, i_thr, d_thr, i_fit, d_fit = jax.device_get(
+    i_ref, d_ref, i_thr, d_thr, i_fit, d_fit, i_sd, d_sd = jax.device_get(
         _nn_all(q, qm, t, tm)
     )
     # Winner selection happens on MXU scores |t|² − 2q·t with absolute error
@@ -294,6 +299,7 @@ def verify_on_device() -> str:
         "pruned NN (thr) beyond-gate"
     )
     check("fitness", i_fit, d_fit, np.ones(n, bool))
+    check("seeded", i_sd, d_sd, np.ones(n, bool))
 
     # --- fused vs unfused preprocess BEVs at HDL-64E, both compat modes ----
     # Stages compile as SEPARATE programs: one mega-program containing both
