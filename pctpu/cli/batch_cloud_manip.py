@@ -15,6 +15,7 @@ def main(argv=None) -> int:
         pos[0],
         batch_size=int_kw(kw, "batch_size", 8),
         resume=kw.get("resume", "false") == "true",
+        compat=kw.get("compat", "bitexact"),
     )
     return 0
 

@@ -20,9 +20,17 @@ def main(argv=None) -> int:
         from pctpu.parallel.distributed import initialize
 
         initialize(kw["coordinator"], nproc, pid)
+    cfg_kw = {}
+    if kw.get("seed_nn", "false") == "true":
+        # warm-start NN throughput mode (RegistrationConfig.seed_nn) — the
+        # registration analogue of --compat=tolerance, off by default
+        from pctpu.config import RegistrationConfig
+
+        cfg_kw["cfg"] = RegistrationConfig(seed_nn=True)
     run_batch_top_part_registration(
         pos[0],
         pos[1],
+        **cfg_kw,
         report_path=kw.get("report", "./icp_precision_report.txt"),
         flat_cap=int_kw(kw, "flat_cap", 32768),
         capacity=int_kw(kw, "capacity", None),

@@ -36,8 +36,11 @@ from pctpu.utils import logging as log
 HDL64E = SensorParams(n_scan=64, horizon_scan=2083, ground_upper_scan=50, height_res=0.25)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "ground_cfg", "bev_cfg"))
-def _process_batch(arrays: dict, params, ground_cfg, bev_cfg):
+@functools.partial(
+    jax.jit, static_argnames=("params", "ground_cfg", "bev_cfg", "compat")
+)
+def _process_batch(arrays: dict, params, ground_cfg, bev_cfg,
+                   compat: str = "bitexact"):
     """Takes the loader's narrow-width SoA dict and widens on device — one
     dispatch for the whole batch (eager per-field asarray/astype calls cost
     ~10 ms dispatch overhead each on a tunneled runtime)."""
@@ -55,16 +58,20 @@ def _process_batch(arrays: dict, params, ground_cfg, bev_cfg):
 
     def one(c):
         ordered = get_ordered_cloud(c, params)
-        labeled, _ = mark_ground(ordered, params, ground_cfg)
+        labeled, _ = mark_ground(ordered, params, ground_cfg, compat=compat)
         return labeled, float_bev(labeled, bev_cfg)
 
     return jax.vmap(one)(clouds)
 
 
 def run_batch_cloud_manip(
-    keyframes_root_dir: str, batch_size: int = 8, resume: bool = False
+    keyframes_root_dir: str, batch_size: int = 8, resume: bool = False,
+    compat: str = "bitexact",
 ) -> float:
-    """Returns average preprocessing+BEV milliseconds per cloud."""
+    """Returns average preprocessing+BEV milliseconds per cloud.
+
+    ``compat="tolerance"``: MXU segment-sum ground grid (see
+    pctpu.ops.ground / docs/PERFORMANCE.md)."""
     root = keyframes_root_dir.rstrip("/") + "/"
     in_dir = root + "keyframe_point_cloud/"
     non_ground_dir = root + "non_ground_point_cloud/"
@@ -97,7 +104,8 @@ def run_batch_cloud_manip(
         for names, payloads in loader:
             arrays = stack_batch(payloads)
             with timer.stage("bev", items=sum(1 for n in names if n)):
-                labeled, bevs = _process_batch(arrays, params, ground_cfg, bev_cfg)
+                labeled, bevs = _process_batch(arrays, params, ground_cfg,
+                                               bev_cfg, compat=compat)
                 labeled_h, bevs_h = jax.device_get((labeled, bevs))
                 for bi, name in enumerate(names):
                     if name is None:
