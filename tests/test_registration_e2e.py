@@ -290,3 +290,34 @@ def test_whole_registration_batched_matches_sequential(tmp_path):
             report_path=str(tmp_path / "w3.txt"), pair_batch=2, devices=2,
         )
         assert mesh_counts == seq
+
+
+@pytest.mark.slow
+def test_register_pairs_pipelined_matches_plain():
+    """The software-pipelined stream produces exactly register_pairs'
+    results per batch (same programs and buckets; only wall-clock
+    interleaving differs)."""
+    from pctpu.pipelines.registration import (
+        register_pairs,
+        register_pairs_pipelined,
+    )
+
+    rng = np.random.default_rng(9)
+    xyz, labels = synth_scene(rng, n_clusters=8)
+    cap = 4096
+    c1 = make_cloud(xyz[:3500], label=labels[:3500], capacity=cap)
+    c2 = make_cloud(rigid(xyz[:3500], 10.0, [0.5, -0.5, 0.0]),
+                    label=labels[:3500], capacity=cap)
+    batches = [[(c1, c2, 10.0)] * 2, [(c2, c1, -10.0)] * 2]
+    cfg = RegistrationConfig()
+    plain = [register_pairs(b, cfg, flat_cap=2048) for b in batches]
+    piped = list(register_pairs_pipelined(
+        iter([lambda b=b: b for b in batches]), cfg, flat_cap=2048))
+    assert len(piped) == len(plain)
+    for pb, qb in zip(plain, piped):
+        for (b1, f1), (b2, f2) in zip(pb, qb):
+            np.testing.assert_array_equal(np.asarray(b1.transform),
+                                          np.asarray(b2.transform))
+            np.testing.assert_array_equal(np.asarray(f1.transform),
+                                          np.asarray(f2.transform))
+            assert float(f1.fitness) == float(f2.fitness)
