@@ -439,17 +439,26 @@ def pallas_nn_1_pruned(
     sv = si = None
     if seeded:
         assert seed_d2 is not None
+        si_clip = jnp.clip(seed_idx.astype(jnp.int32), 0, tn - 1)
+        # a seed pointing at a MASKED target is unsound: its d² is not an
+        # upper bound of the true valid-NN distance, so the bound could
+        # prune the real winner's tile.  Invalidate such seeds (one cheap
+        # gather); ICP's seeds always point at corr-valid targets, this
+        # guards the general API.
+        seed_valid = target_mask[si_clip]
         sv = jnp.full((1, qp), jnp.float32(_BIG))
         sv = sv.at[0, :qn].set(
-            jnp.minimum(
-                seed_d2.astype(jnp.float32)
-                + jnp.asarray(seed_margin, jnp.float32),
+            jnp.where(
+                seed_valid,
+                jnp.minimum(
+                    seed_d2.astype(jnp.float32)
+                    + jnp.asarray(seed_margin, jnp.float32),
+                    jnp.float32(_BIG),
+                ),
                 jnp.float32(_BIG),
             )
         )
-        si = jnp.zeros((1, qp), jnp.int32).at[0, :qn].set(
-            jnp.clip(seed_idx.astype(jnp.int32), 0, tn - 1)
-        )
+        si = jnp.zeros((1, qp), jnp.int32).at[0, :qn].set(si_clip)
     seed_specs = (
         [
             pl.BlockSpec((1, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),

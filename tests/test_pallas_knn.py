@@ -238,3 +238,27 @@ def test_icp_seed_nn_matches_unseeded():
                                np.asarray(b.transform), atol=1e-3)
     np.testing.assert_allclose(float(a.fitness), float(b.fitness),
                                rtol=1e-3, atol=1e-6)
+
+
+def test_pruned_nn_seed_at_masked_target_is_guarded():
+    """A seed pointing at a masked target must be invalidated: its d2 is
+    not an upper bound over VALID targets, so an unguarded bound could
+    prune the true winner's tile (regression: observed 1 wrong index +
+    inf d2 before the target_mask[seed_idx] guard)."""
+    import jax.numpy as jnp
+
+    from pctpu.ops.knn import nn_1
+    from pctpu.ops.pallas_knn import pallas_nn_1_pruned
+
+    pts = np.random.default_rng(0).uniform(-5, 5, (64, 3)).astype(np.float32)
+    tgt = np.random.default_rng(1).uniform(-5, 5, (128, 3)).astype(np.float32)
+    tm = jnp.ones(128, bool).at[5].set(False)
+    ir, dr = nn_1(jnp.asarray(pts), jnp.ones(64, bool), jnp.asarray(tgt), tm)
+    seed_idx = jnp.full(64, 5, jnp.int32)
+    seed_d2 = jnp.sum((jnp.asarray(pts) - jnp.asarray(tgt)[5]) ** 2, axis=1)
+    i, d = pallas_nn_1_pruned(
+        jnp.asarray(pts), jnp.ones(64, bool), jnp.asarray(tgt), tm,
+        interpret=True, seed_idx=seed_idx, seed_d2=seed_d2,
+    )
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(dr))
