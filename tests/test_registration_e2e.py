@@ -321,3 +321,36 @@ def test_register_pairs_pipelined_matches_plain():
             np.testing.assert_array_equal(np.asarray(f1.transform),
                                           np.asarray(f2.transform))
             assert float(f1.fitness) == float(f2.fitness)
+
+
+@pytest.mark.slow
+def test_pipelined_driver_propagates_loader_errors(tmp_path):
+    """A missing PCD in a later chunk must raise cleanly out of the
+    pipelined driver (the worker-thread exception propagates via the
+    future), never hang or silently drop pairs."""
+    from pctpu.io.pcd import write_pcd
+    from pctpu.pipelines.registration import run_batch_top_part_registration
+
+    rng = np.random.default_rng(6)
+    xyz, labels = synth_scene(rng)
+    cloud_dir = tmp_path / "clouds"
+    os.makedirs(cloud_dir)
+    n = len(xyz)
+    write_pcd(
+        str(cloud_dir / "000000.pcd"),
+        {
+            "x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2],
+            "intensity": np.ones(n, np.float32),
+            "row": np.zeros(n, np.uint16), "col": np.zeros(n, np.uint16),
+            "t": np.zeros(n, np.uint32), "label": labels.astype(np.int16),
+        },
+    )
+    match_file = tmp_path / "match_result.txt"
+    # second chunk references cloud 7 which does not exist
+    match_file.write_text("0 0 0.0\n0 0 0.0\n0 7 5.0\n")
+    with pytest.raises((FileNotFoundError, OSError)):
+        run_batch_top_part_registration(
+            str(match_file), str(cloud_dir), flat_cap=2048,
+            capacity=len(xyz), pair_batch=2,
+            report_path=str(tmp_path / "r.txt"),
+        )
