@@ -323,6 +323,52 @@ def verify_on_device() -> str:
         m, s = jax.device_get((_multi(labeled), _single(labeled)))
         assert np.array_equal(fm, m), f"fused multi BEV ({compat})"
         assert np.array_equal(fs, s), f"fused single BEV ({compat})"
+
+    # --- on-chip north-star precision: known-transform registration --------
+    # the CPU suite bounds yaw error over 20 scenes; this asserts the SAME
+    # acceptance window (<0.5°, BASELINE.json:5) on the real chip, where the
+    # matmul-precision and Pallas-lowering behavior differ from CPU jax
+    import math
+
+    from pctpu.cloud import make_cloud
+    from pctpu.pipelines.registration import register_pair
+
+    for seed in range(3):
+        rng = np.random.default_rng(500 + seed)
+        pts, labels = [], []
+        for _ in range(12):
+            cx, cy = rng.uniform(-50, 50, 2)
+            k = 150
+            pts.append(np.stack([cx + rng.normal(0, 2.5, k),
+                                 cy + rng.normal(0, 2.5, k),
+                                 rng.uniform(0, 9, k)], 1))
+            labels.append(np.full(k, -2))
+        ng = 1500
+        pts.append(np.stack([rng.uniform(-70, 70, ng), rng.uniform(-70, 70, ng),
+                             rng.uniform(-2.0, -1.9, ng)], 1))
+        labels.append(np.zeros(ng))
+        xyz = np.concatenate(pts).astype(np.float32)
+        lab = np.concatenate(labels).astype(np.int32)
+        true_yaw = float(rng.uniform(-60, 60))
+        tx, ty = rng.uniform(-3, 3, 2)
+        th = math.radians(true_yaw)
+        rot = np.array([[np.cos(th), -np.sin(th), 0],
+                        [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+        xyz2 = (xyz @ rot.T + np.float32([tx, ty, 0])
+                + rng.normal(0, 0.01, xyz.shape)).astype(np.float32)
+        c1 = jax.device_put(make_cloud(xyz, label=lab, capacity=4096))
+        c2 = jax.device_put(make_cloud(xyz2, label=lab, capacity=4096))
+        guess = true_yaw + float(rng.uniform(-8, 8))
+        _, fine = register_pair(c1, c2, angle_guess_deg=guess, flat_cap=4096)
+        assert float(fine.fitness) <= 1.5, (
+            f"on-chip registration failed (seed {seed}): {float(fine.fitness)}"
+        )
+        tf = np.asarray(fine.transform)
+        yaw = math.degrees(math.atan2(tf[1, 0], tf[0, 0]))
+        yaw_err = abs(yaw - true_yaw)
+        t_err = float(np.hypot(tf[0, 3] - tx, tf[1, 3] - ty))
+        assert yaw_err < 0.5, f"on-chip yaw error {yaw_err}° (seed {seed})"
+        assert t_err < 0.10, f"on-chip translation error {t_err} m (seed {seed})"
     return "ok"
 
 
