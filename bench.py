@@ -372,12 +372,14 @@ def verify_on_device() -> str:
     return "ok"
 
 
-def measure_registration(seed_nn: bool = False) -> float:
+def measure_registration(seed_nn: bool = False, return_stages: bool = False):
     """Fused two-stage registration pairs/sec on 65k-point synthetic scenes.
 
     ``seed_nn=True`` measures the warm-start throughput mode
     (RegistrationConfig.seed_nn — the registration analogue of the preprocess
-    tolerance compat)."""
+    tolerance compat).  ``return_stages=True`` also returns the measured
+    per-pair stage wall times (the reference's two [TIME] spans) from the
+    pipelined run."""
     from pctpu.cloud import make_cloud
     from pctpu.pipelines.registration import register_pair
 
@@ -431,8 +433,11 @@ def measure_registration(seed_nn: bool = False) -> float:
     from pctpu.config import RegistrationConfig
     from pctpu.pipelines.registration import register_pairs_pipelined
 
+    from pctpu.runtime.profiler import StageTimer
+
     cfg = RegistrationConfig(seed_nn=seed_nn)
     register_pairs(batch(1), cfg, flat_cap=32768)  # compile
+    stage_timer = StageTimer()
     # timed: the production pipelined stream — batch k+1's stack+coarse
     # stage overlaps batch k's fine stage, like the batch driver.  The
     # synthetic inputs are prebuilt OUTSIDE the timed region (their
@@ -443,10 +448,18 @@ def measure_registration(seed_nn: bool = False) -> float:
     built = [batch(100 + 7 * i) for i in range(n_batches)]
     t0 = time.perf_counter()
     for _ in register_pairs_pipelined(
-        iter([lambda b=b: b for b in built]), cfg, flat_cap=32768
+        iter([lambda b=b: b for b in built]), cfg, flat_cap=32768,
+        timer=stage_timer,
     ):
         pass
-    return n_batches * n_pairs / (time.perf_counter() - t0)
+    pps = n_batches * n_pairs / (time.perf_counter() - t0)
+    if return_stages:
+        stages = {
+            k: round(stage_timer.average_ms(k), 3)
+            for k in sorted(stage_timer.totals_ms)
+        }
+        return pps, stages
+    return pps
 
 
 def main() -> int:
@@ -464,7 +477,7 @@ def main() -> int:
         general_tol_cps = measure_tpu(ordered=False, compat="tolerance")
         hdl32_cps = measure_tpu(ordered=True, sensor="HDL_32E")
         os1_cps = measure_tpu(ordered=True, sensor="OS1_64")
-        pairs_per_sec = measure_registration()
+        pairs_per_sec, reg_stages = measure_registration(return_stages=True)
         pairs_per_sec_seeded = measure_registration(seed_nn=True)
         reg_base = measure_registration_baseline()
         reg_base_pps = 1000.0 / reg_base["ms_per_pair"]
@@ -482,6 +495,7 @@ def main() -> int:
                     "baseline_single_core_clouds_per_sec": round(baseline_cps, 3),
                     "baseline_ms_per_cloud": baseline_ms,
                     "registration_pairs_per_sec_65k": round(pairs_per_sec, 3),
+                    "registration_stage_wall_ms_per_pair": reg_stages,
                     "registration_pairs_per_sec_65k_seed_nn": round(
                         pairs_per_sec_seeded, 3
                     ),
