@@ -463,6 +463,11 @@ def measure_registration(seed_nn: bool = False, return_stages: bool = False):
 
 
 def main() -> int:
+    if "--verify" in sys.argv:
+        # standalone gate: on-chip kernel-lowering diffs + north-star
+        # precision sweep, no throughput measurement
+        print(json.dumps({"verify": verify_on_device()}))
+        return 0
     details = "--details" in sys.argv
     baseline_ms = measure_baseline()
     baseline_cps = 1000.0 / baseline_ms
