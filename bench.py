@@ -331,8 +331,10 @@ def verify_on_device() -> str:
     import math
 
     from pctpu.cloud import make_cloud
-    from pctpu.pipelines.registration import register_pair
+    from pctpu.pipelines.registration import register_pair, register_pairs
 
+    batched_inputs = []
+    single_fine = []
     for seed in range(3):
         rng = np.random.default_rng(500 + seed)
         pts, labels = [], []
@@ -369,6 +371,20 @@ def verify_on_device() -> str:
         t_err = float(np.hypot(tf[0, 3] - tx, tf[1, 3] - ty))
         assert yaw_err < 0.5, f"on-chip yaw error {yaw_err}° (seed {seed})"
         assert t_err < 0.10, f"on-chip translation error {t_err} m (seed {seed})"
+        batched_inputs.append((c1, c2, guess))
+        single_fine.append(tf)
+
+    # --- vmapped-vs-single equivalence on-chip ------------------------------
+    # register_pairs vmaps the Pallas NN through the batched ICP stages — the
+    # batched lowering must reproduce the single-pair transforms (buckets
+    # derive from batch maxima, so padding widths — and with them f32
+    # reduction trees — may differ: same tolerance as the CPU equivalence
+    # test, tests/test_registration_e2e.py)
+    batched = register_pairs(batched_inputs, flat_cap=4096)
+    for k, (_, fine_b) in enumerate(batched):
+        assert np.allclose(
+            np.asarray(fine_b.transform), single_fine[k], atol=2e-3
+        ), f"vmapped fine transform diverges from single-pair (scene {k})"
     return "ok"
 
 

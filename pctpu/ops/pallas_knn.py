@@ -475,9 +475,13 @@ def pallas_nn_1_pruned(
         jax.ShapeDtypeStruct((1, qp), jnp.float32),
         jax.ShapeDtypeStruct((1, qp), jnp.int32),
     ]
-    if interpret:
-        # interpret mode (CPU tests) keeps the 2-D-grid kernel: manual DMA
-        # semaphores are TPU-lowering constructs
+    # the loop kernel holds the FULL (8, tp) target planes in VMEM (32·tp
+    # bytes); past ~8 MB fall back to the tiled 2-D-grid kernel rather than
+    # risk VMEM exhaustion (fine-stage clouds are ≤65k ≈ 2 MB)
+    use_2d = interpret or tp > 262_144
+    if use_2d:
+        # interpret mode (CPU tests) also keeps the 2-D-grid kernel: manual
+        # per-tile revolving loads are TPU-lowering behavior
         val, idx = pl.pallas_call(
             _make_nn_pruned_kernel(nq_t, nt_t, seeded=seeded),
             grid=(nq_t, nt_t),
@@ -496,7 +500,7 @@ def pallas_nn_1_pruned(
             + seed_specs,
             out_specs=out_spec_2d,
             out_shape=out_shape,
-            interpret=True,
+            interpret=interpret,
         )(*([q_bbox, t_bbox, thr, q_planes, t_planes]
             + ([sv, si] if seeded else [])))
     else:
