@@ -203,7 +203,7 @@ def _icp_impl(
         # index) order IS the global index order, so ties break the same way.
         if mesh is None:
             raise ValueError("nn_impl='sharded' needs a mesh with a 'points' axis")
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         def _local(q, qm, t, tm):
@@ -221,7 +221,7 @@ def _icp_impl(
             mesh=mesh,
             in_specs=(P(), P(), P("points"), P("points")),
             out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
 
         def nn_corr(q, qm, tmask):

@@ -75,7 +75,7 @@ def sharded_nn_1(mesh: Mesh, tile: int = 512):
     reduced by gathering per-shard (distance, index) pairs — one tiny
     all-gather over ICI instead of moving the clouds.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from pctpu.ops.knn import nn_1
 
@@ -98,7 +98,7 @@ def sharded_nn_1(mesh: Mesh, tile: int = 512):
         mesh=mesh,
         in_specs=(P(), P(), P("points"), P("points")),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     ))
 
     def run(query, qmask, target, tmask):
@@ -119,13 +119,13 @@ def psum_metrics(mesh: Mesh):
     along 'points' — psum'ing over 'points' too would multiply the total by
     n_points (each points-shard holds an identical copy).  Returns the
     scalar grand total (within-shard sum + cross-shard psum)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local(x):
         return jax.lax.psum(jnp.sum(x), "data")
 
     return jax.jit(
         shard_map(
-            local, mesh=mesh, in_specs=P("data"), out_specs=P(), check_rep=False
+            local, mesh=mesh, in_specs=P("data"), out_specs=P(), check_vma=False
         )
     )
