@@ -460,8 +460,11 @@ def measure_registration(seed_nn: bool = False, return_stages: bool = False):
     # perturb+fetch proof costs 16 tunnel roundtrips per batch — an
     # artifact of the value-perturbation methodology, not pipeline work;
     # production pairs stream from the disk loader thread)
+    # stride >= n_pairs so no perturbation offset recurs across batches:
+    # the axon runtime value-caches repeated input values (CLAUDE.md), and
+    # re-presenting bit-identical pairs would inflate the measured rate
     n_batches = 3
-    built = [batch(100 + 7 * i) for i in range(n_batches)]
+    built = [batch(100 + n_pairs * i) for i in range(n_batches)]
     t0 = time.perf_counter()
     for _ in register_pairs_pipelined(
         iter([lambda b=b: b for b in built]), cfg, flat_cap=32768,

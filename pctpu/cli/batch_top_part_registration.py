@@ -12,7 +12,12 @@ def main(argv=None) -> int:
     pos, kw = split_args(sys.argv[1:] if argv is None else argv)
     if len(pos) < 2:
         usage_exit(
-            "Usage: batch_top_part_registration <match_result.txt> <point_cloud_dir>"
+            "Usage: batch_top_part_registration <match_result.txt> <point_cloud_dir>\n"
+            "Extensions: --pair-batch=N (vmapped pair batching)  --devices=N\n"
+            "            (data-parallel mesh)  --capacity=N  --flat-cap=N\n"
+            "            --seed-nn=true (warm-start NN throughput mode)\n"
+            "            --report=PATH  --num-processes=N --process-id=K\n"
+            "            --coordinator=host:port"
         )
     nproc = int_kw(kw, "num_processes", None)
     pid = int_kw(kw, "process_id", None)

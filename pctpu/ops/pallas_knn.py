@@ -354,7 +354,7 @@ def _make_nn_pruned_loop_kernel(nq_t, nt_t, tt, seeded: bool):
         # visited tiles, so the carried bound is exact and pruned steps pay
         # scalar-unit arithmetic only
         def visit(j, bound):
-            jj = (i * nt_t // nq_t + j) % nt_t
+            jj = _diag_tile(i, j, nq_t, nt_t)
             gap = jnp.float32(0.0)
             for d in range(3):
                 lo_q, hi_q = qb_ref[d, i], qb_ref[3 + d, i]

@@ -279,8 +279,16 @@ def _coarse_stage_batched(pairs, cfg, flat_cap, timer, mesh):
 
 
 def _fine_stage_batched(c1, c2, best, cfg, timer):
-    """Full-cloud voxel + fine ICP for one pair batch (2nd-stage span)."""
-    n = int(np.asarray(best.fitness).shape[0])
+    """Full-cloud voxel + fine ICP for one pair batch (2nd-stage span),
+    warm-started from the coarse winners."""
+    return _fine_stage_common(c1, c2, jnp.asarray(best.transform), cfg, timer)
+
+
+def _fine_stage_common(c1, c2, guesses, cfg, timer):
+    """Vmapped full-cloud voxel + stats fetch + bucketed fine ICP — shared by
+    the top-part fine stage (guesses = coarse transforms) and the
+    whole-cloud ablation (guesses = raw yaw rotations)."""
+    n = int(guesses.shape[0])
     with timer.stage("fine", items=n):
         a, b, chk2 = jax.vmap(
             lambda x, y: _stage_voxel_full(x, y, cfg.voxel_leaf)
@@ -295,7 +303,7 @@ def _fine_stage_batched(c1, c2, best, cfg, timer):
         fbucket = _fine_bucket(int(max(stats2[0], stats2[1])), c1.capacity)
         fine = jax.vmap(
             lambda sx, sm, tx, tm, g: _stage_fine(sx, sm, tx, tm, g, cfg, fbucket)
-        )(a[0], a[1], b[0], b[1], jnp.asarray(best.transform))
+        )(a[0], a[1], b[0], b[1], guesses)
         fine = jax.tree.map(np.asarray, jax.device_get(fine))
     return fine
 
@@ -387,22 +395,7 @@ def register_whole_pairs(
         c2 = jax.tree.map(lambda x: jax.device_put(x, sharding), c2)
         guesses = jax.device_put(guesses, sharding)
 
-    with timer.stage("fine", items=n):
-        a, b, chk2 = jax.vmap(
-            lambda x, y: _stage_voxel_full(x, y, cfg.voxel_leaf)
-        )(c1, c2)
-        stats2 = np.asarray(
-            jnp.stack([
-                jnp.max(a[2]).astype(jnp.float32),
-                jnp.max(b[2]).astype(jnp.float32),
-                jnp.sum(chk2),
-            ])
-        )
-        fbucket = _fine_bucket(int(max(stats2[0], stats2[1])), c1.capacity)
-        fine = jax.vmap(
-            lambda sx, sm, tx, tm, g: _stage_fine(sx, sm, tx, tm, g, cfg, fbucket)
-        )(a[0], a[1], b[0], b[1], guesses)
-        fine = jax.tree.map(np.asarray, jax.device_get(fine))
+    fine = _fine_stage_common(c1, c2, guesses, cfg, timer)
     return [jax.tree.map(lambda x: x[i], fine) for i in range(n)]
 
 
@@ -485,7 +478,13 @@ def _auto_capacity(matches: list[MatchResult], point_cloud_dir: str,
                    step: int = 8192) -> int:
     """Shared cloud capacity for pair batching: the max POINTS over every
     cloud referenced by the match list (header-only reads), rounded up to a
-    ``step`` multiple for stable compilation buckets."""
+    ``step`` multiple for stable compilation buckets.
+
+    NB: the padding changes f32 reduction shapes inside the ICP estimation,
+    so batched results can differ at ulp level from an exact-capacity
+    sequential run (and, on convergence knife-edges, exit on a different
+    iteration — docs/PARITY.md "capacity padding vs f32 reduction shape").
+    Any fixed capacity is reproducible run-to-run."""
     from pctpu.io.pcd import read_pcd_point_count
 
     idxs = {m.query_idx for m in matches} | {m.match_idx for m in matches}
@@ -734,8 +733,14 @@ def run_batch_whole_registration(
                     fine = jax.tree.map(np.asarray, jax.device_get(fine))
                 yield m, fine
             return
-        for start in range(0, len(matches), pair_batch):
-            chunk = matches[start : start + pair_batch]
+        import concurrent.futures
+
+        chunks = [
+            matches[start : start + pair_batch]
+            for start in range(0, len(matches), pair_batch)
+        ]
+
+        def load_chunk(chunk):
             pairs = [
                 (
                     load_cloud_pcd(
@@ -752,9 +757,23 @@ def run_batch_whole_registration(
             ]
             # short tail repeats the last loaded pair to keep the compiled shape
             pairs += [pairs[-1]] * (pair_batch - len(chunk))
-            results = register_whole_pairs(pairs, cfg, timer=timer, mesh=mesh)
-            for m, fine in zip(chunk, results):
-                yield m, fine
+            return pairs
+
+        # prefetch chunk k+1's PCD loads on a worker thread under chunk k's
+        # device dispatch — the same overlap the top-part driver gets from
+        # register_pairs_pipelined (here there is only one device stage)
+        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(load_chunk, chunks[0]) if chunks else None
+            for k, chunk in enumerate(chunks):
+                pairs = fut.result()
+                fut = (
+                    ex.submit(load_chunk, chunks[k + 1])
+                    if k + 1 < len(chunks)
+                    else None
+                )
+                results = register_whole_pairs(pairs, cfg, timer=timer, mesh=mesh)
+                for m, fine in zip(chunk, results):
+                    yield m, fine
 
     for m, fine in result_stream():
         log.green(f"Processing match: {m.query_idx} and {m.match_idx}")

@@ -151,7 +151,42 @@ def diff_trees(ref_dir: str, got_dir: str, label: str,
                 except Exception as exc:  # decoding mismatch IS a finding
                     report.append(f"PX-ERR   {label}/{rel}: {exc}")
                     continue
+            if f.endswith(".csv"):
+                # FMT_CSV BEVs: a byte diff may be a within-window value
+                # difference (e.g. %.4g rounding of a divergent height) —
+                # compare numerically like the PNGs instead of hard-failing
+                try:
+                    a = _read_fmt_csv(rp)
+                    b = _read_fmt_csv(gp)
+                    if a.shape != b.shape:
+                        report.append(
+                            f"PX-ERR   {label}/{rel}: shapes {a.shape} vs {b.shape}"
+                        )
+                        continue
+                    d = np.abs(a - b)
+                    status = "PX-OK" if d.max() == 0 else (
+                        f"PX-DIFF max={d.max():.4g} n={(d > 0).sum()}"
+                    )
+                    report.append(f"{status} {label}/{rel}")
+                    continue
+                except Exception as exc:
+                    report.append(f"PX-ERR   {label}/{rel}: {exc}")
+                    continue
             report.append(f"BYTES-DIFF {label}/{rel}")
+
+
+def _read_fmt_csv(path: str):
+    """Parse an OpenCV FMT_CSV matrix (', '-separated floats, one row per
+    line) into a float64 array."""
+    import numpy as np
+
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append([float(tok) for tok in line.split(",")])
+    return np.asarray(rows, np.float64)
 
 
 def parity_registration(ref_report: str, got_report: str,
@@ -159,18 +194,49 @@ def parity_registration(ref_report: str, got_report: str,
     """Compare icp_precision_report rows: the reference records fine-vs-
     coarse (Δxy, Δyaw) per successful pair (BatchTopPartRegistration.cpp:
     512-527); parity = both stacks inside the acceptance window."""
-    ra = [l.split() for l in open(ref_report) if l.strip()]
-    rb = [l.split() for l in open(got_report) if l.strip()]
+    def rows(path):
+        out = []
+        for lineno, line in enumerate(open(path), 1):
+            tok = line.split()
+            if not tok:
+                continue
+            try:
+                xy, yaw = float(tok[0]), float(tok[1])
+            except (IndexError, ValueError):
+                report.append(
+                    f"REG-PARSE-ERR {os.path.basename(path)}:{lineno}: "
+                    f"{line.strip()!r} (want 'diff_xy diff_yaw')"
+                )
+                return None
+            out.append((xy, yaw))
+        return out
+
+    ra = rows(ref_report)
+    rb = rows(got_report)
+    if ra is None or rb is None:
+        return
     if len(ra) != len(rb):
         report.append(
             f"REG-DIFF row count {len(ra)} vs {len(rb)} (success sets differ)"
         )
         return
+    worst_xy = 0.0
     worst_yaw = 0.0
     for (x1, y1), (x2, y2) in zip(ra, rb):
-        worst_yaw = max(worst_yaw, abs(float(y1) - float(y2)))
-    status = "REG-OK" if worst_yaw <= ACCEPT_YAW_DEG else "REG-FAIL"
-    report.append(f"{status} max |Δyaw(ref) − Δyaw(pctpu)| = {worst_yaw:.4f}°")
+        worst_xy = max(worst_xy, abs(x1 - x2))
+        worst_yaw = max(worst_yaw, abs(y1 - y2))
+    # Δxy is in metres; the north star pins yaw (<0.5°) and BEV pixels —
+    # for translation use the BEV resolution (1 px = 1 m at the default
+    # 224²/±112 m raster) as the within-window bound
+    status = (
+        "REG-OK"
+        if worst_yaw <= ACCEPT_YAW_DEG and worst_xy <= ACCEPT_PX
+        else "REG-FAIL"
+    )
+    report.append(
+        f"{status} max |Δyaw(ref) − Δyaw(pctpu)| = {worst_yaw:.4f}°, "
+        f"max |Δxy(ref) − Δxy(pctpu)| = {worst_xy:.4f} m"
+    )
 
 
 def main() -> int:
@@ -265,7 +331,8 @@ def main() -> int:
     for line in report:
         print(line)
         tag = line.split()[0]
-        if tag in ("MISSING", "BYTES-DIFF", "PX-ERR", "REG-FAIL"):
+        if tag in ("MISSING", "BYTES-DIFF", "PX-ERR", "REG-FAIL",
+                   "REG-PARSE-ERR"):
             bad += 1
         elif tag == "PX-DIFF":
             # inside-window pixel diffs are findings but not failures
