@@ -11,7 +11,6 @@ vs_baseline = TPU clouds/s ÷ single-core clouds/s.
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import subprocess

@@ -17,7 +17,6 @@ up to sign.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ one chip, a v5e pod slice, or the CPU-device test mesh.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ the whole sweep runs in seconds on CPU jax."""
 import numpy as np
 import pytest
 
-from pctpu.config import SensorParams
+
 from pctpu.ops.bev import fused_multi_single_bev
 from pctpu.ops.ground import mark_ground
 from pctpu.ops.ordering import get_ordered_cloud

@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from pctpu.config import IcpConfig
-from pctpu.ops.icp import icp_point_to_plane, icp_point_to_point, icp_trace
+from pctpu.ops.icp import icp_point_to_point, icp_trace
 
 from . import ref_impl
 

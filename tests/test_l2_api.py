@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from pctpu.ops.normals2d import Normal2dEstimation, normals_2d, normals_2d_knn
-from pctpu.ops.pca2d import PCA2D, pca2d_fit, pca2d_project
+from pctpu.ops.pca2d import PCA2D
 
 from . import ref_impl
 

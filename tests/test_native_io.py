@@ -38,7 +38,6 @@ def test_native_lib_builds():
 
 def test_native_lzf_matches_python():
     """Native liblzf decoder == the pure-Python fallback, incl. backrefs."""
-    import pctpu.io.pcd as pcd
     import pctpu.runtime.native_io as nio
 
     if not nio.native_available():

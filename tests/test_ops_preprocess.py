@@ -417,7 +417,6 @@ def test_rooftop_margin_strictness_threshold():
     assert not (np.float32(0.25) >= d025)  # d == margin exactly: kept
     # margins below their f32 rounding (f32(m) < m) also stay strict
     m = 0.1  # f32(0.1) > 0.1; pick one with f32(m) < m: 0.3 is >, try 0.7?
-    import struct
     for m in (0.1, 0.2, 0.25, 0.3, 0.4, 0.5, 0.7):
         d0 = _strict_gt_f32_threshold(m)
         assert float(d0) > m  # strictly above the f64 margin

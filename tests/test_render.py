@@ -1,11 +1,10 @@
 """Headless viewer-snapshot rendering: projection, z-buffer, PNG, CLI."""
 
-import os
 
 import numpy as np
 import pytest
 
-from pctpu.io.png import decode_rgb_png, encode_rgb_png, write_rgb_png
+from pctpu.io.png import decode_rgb_png, encode_rgb_png
 from pctpu.ops.render import Layer, render_snapshot, segment_points
 
 
