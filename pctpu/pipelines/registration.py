@@ -219,8 +219,13 @@ def register_pairs(
     IcpResults in input order.  All clouds must share one capacity.
 
     With ``mesh``, the pair axis is sharded over the mesh's 'data' axis
-    (len(pairs) must be a multiple of it) — pure data parallelism, results
-    identical to the unsharded run."""
+    (len(pairs) must be a multiple of it) — pure data parallelism.  GSPMD
+    may compile different f32 reduction trees per shard, so mesh results
+    match the unsharded run at the ulp level (~1e-6..1e-4 in transform
+    entries, tests/test_sharding.py), not bitwise; near an ICP convergence
+    knife-edge the exit iteration can differ (docs/PARITY.md "capacity
+    padding vs f32 reduction shape" — same mechanism), always within the
+    north-star window."""
     timer = timer or StageTimer()
     c1, c2, best = _coarse_stage_batched(pairs, cfg, flat_cap, timer, mesh)
     n = len(pairs)
