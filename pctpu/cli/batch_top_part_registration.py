@@ -16,7 +16,8 @@ def main(argv=None) -> int:
             "Extensions: --pair-batch=N (vmapped pair batching)  --devices=N\n"
             "            (data-parallel mesh)  --capacity=N  --flat-cap=N\n"
             "            --seed-nn=true (warm-start NN throughput mode)\n"
-            "            --report=PATH  --num-processes=N --process-id=K\n"
+            "            --report=PATH  --resume (skip pairs already in\n"
+            "            <report>.progress)  --num-processes=N --process-id=K\n"
             "            --coordinator=host:port"
         )
     nproc = int_kw(kw, "num_processes", None)
@@ -43,6 +44,7 @@ def main(argv=None) -> int:
         devices=int_kw(kw, "devices", None),
         process_id=pid,
         num_processes=nproc,
+        resume=kw.get("resume", "false") == "true",
     )
     return 0
 

@@ -14,6 +14,7 @@ def main(argv=None) -> int:
             "Usage: batch_whole_registration <match_result.txt> <point_cloud_dir>\n"
             "Extensions: --pair-batch=N (vmapped pair batching)  --devices=N\n"
             "            (data-parallel mesh)  --capacity=N  --report=PATH\n"
+            "            --resume (skip pairs already in <report>.progress)\n"
             "            --num-processes=N --process-id=K --coordinator=host:port"
         )
     nproc = int_kw(kw, "num_processes", None)
@@ -31,6 +32,7 @@ def main(argv=None) -> int:
         devices=int_kw(kw, "devices", None),
         process_id=pid,
         num_processes=nproc,
+        resume=kw.get("resume", "false") == "true",
     )
     return 0
 

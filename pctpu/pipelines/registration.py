@@ -14,6 +14,7 @@ pair reuse the same compiled programs.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 import math
@@ -501,6 +502,38 @@ def _auto_capacity(matches: list[MatchResult], point_cloud_dir: str,
     return max(-(-biggest // step) * step, step)
 
 
+def _filter_resumed(matches, report_path: str, resume: bool):
+    """Resume support for the report-stream drivers: drop matches recorded in
+    the ``<report_path>.progress`` sidecar and pick the report open mode.
+
+    Skipping consumes progress entries as a multiset, so a match file with
+    duplicate pairs (which the reference processes twice) resumes correctly.
+    Returns ``(remaining matches, report mode)``."""
+    if not resume:
+        return matches, "w"
+    done: collections.Counter = collections.Counter()
+    prog = report_path + ".progress"
+    if os.path.exists(prog):
+        with open(prog) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) == 2:
+                    done[(int(parts[0]), int(parts[1]))] += 1
+    remaining = []
+    for m in matches:
+        key = (m.query_idx, m.match_idx)
+        if done[key] > 0:
+            done[key] -= 1
+        else:
+            remaining.append(m)
+    if len(remaining) != len(matches):
+        log.info(
+            f"--resume: skipping {len(matches) - len(remaining)} "
+            "already-processed pairs"
+        )
+    return remaining, ("a" if os.path.exists(report_path) else "w")
+
+
 def run_batch_top_part_registration(
     match_results_filename: str,
     point_cloud_dir: str,
@@ -512,6 +545,7 @@ def run_batch_top_part_registration(
     devices: int | None = None,
     process_id: int | None = None,
     num_processes: int | None = None,
+    resume: bool = False,
 ) -> list[PairReport]:
     """The batch evaluator.  Returns per-pair reports; writes the precision
     report and prints the reference-style summary.
@@ -524,7 +558,16 @@ def run_batch_top_part_registration(
     ``process_id``/``num_processes`` shard the match list across hosts
     (pctpu.parallel.distributed); each host writes
     ``<report_path>.shard<pid>`` and prints its own summary (the reference's
-    single-process report contract is preserved for single-host runs)."""
+    single-process report contract is preserved for single-host runs).
+
+    ``resume=True`` skips pairs listed in the ``<report_path>.progress``
+    sidecar (one ``query match`` line per processed pair, flushed after its
+    report line) and appends to the existing report — the §5.4
+    checkpoint/resume policy extended to the report-stream tools, where the
+    report itself carries no pair ids to resume from.  The report is flushed
+    before the progress line, so a crash can at worst re-run (and re-append)
+    the in-flight pair, never lose a recorded one.  The printed summary
+    covers only the pairs processed by this invocation."""
     matches = load_match_results(match_results_filename)
     from pctpu.parallel.distributed import process_shard
 
@@ -533,6 +576,7 @@ def run_batch_top_part_registration(
     if nproc > 1:
         matches = process_shard(matches, pid, nproc)
         report_path = f"{report_path}.shard{pid}"
+    matches, report_mode = _filter_resumed(matches, report_path, resume)
     mesh = None
     if devices is not None and devices > 1:
         from pctpu.parallel.mesh import make_mesh
@@ -608,7 +652,14 @@ def run_batch_top_part_registration(
             for m, (best, fine) in zip(chunk, results):
                 yield m, best, fine
 
-    with open(report_path, "w") as report:
+    with open(report_path, report_mode) as report, open(
+        report_path + ".progress", report_mode
+    ) as progress:
+
+        def _mark_done(m):
+            progress.write(f"{m.query_idx} {m.match_idx}\n")
+            progress.flush()
+
         for m, best, fine in result_stream():
             log.green(f"Processing match: {m.query_idx} and {m.match_idx}")
             if fine is None:  # use_refinement=False: coarse only, no report
@@ -617,6 +668,7 @@ def run_batch_top_part_registration(
                                float(best.fitness), np.nan, np.nan, np.nan,
                                np.asarray(best.transform))
                 )
+                _mark_done(m)
                 continue
             t_coarse = np.asarray(best.transform)
             t_fine = np.asarray(fine.transform)
@@ -632,6 +684,7 @@ def run_batch_top_part_registration(
                     PairReport(m.query_idx, m.match_idx, False, float(best.fitness),
                                fit_fine, np.nan, np.nan, t_fine)
                 )
+                _mark_done(m)
                 continue
 
             diff_x = np.float32(t_fine[0, 3]) - np.float32(t_coarse[0, 3])
@@ -647,11 +700,13 @@ def run_batch_top_part_registration(
                 diff_yaw += 360.0
             log.info(f"diff_xy: {diff_xy}, diff_yaw: {diff_yaw}")
             report.write(f"{_ostream_float(diff_xy)} {_ostream_float(diff_yaw)}\n")
+            report.flush()  # before the progress mark: re-run beats lost line
             count_success += 1
             reports.append(
                 PairReport(m.query_idx, m.match_idx, True, float(best.fitness),
                            fit_fine, diff_xy, diff_yaw, t_fine)
             )
+            _mark_done(m)
 
     n = max(len(matches), 1)
     log.green(f"[TIME] Avg Tiempo for 1st Stage (coarse): {timer.totals_ms['coarse'] / n}")
@@ -674,11 +729,16 @@ def run_batch_whole_registration(
     devices: int | None = None,
     process_id: int | None = None,
     num_processes: int | None = None,
+    resume: bool = False,
 ) -> tuple[int, int]:
     """Ablation: direct 3-D ICP from the yaw guess on whole downsampled
     clouds (/root/reference/BatchWholeRegistration.cpp:311-418).  The report
     file is created but — like the reference — never written to; only the
     success/failure counts are reported.  Returns (success, failure).
+
+    ``resume=True`` skips pairs recorded in the ``<report_path>.progress``
+    sidecar (same contract as ``run_batch_top_part_registration``); the
+    returned/printed counts cover only this invocation's pairs.
 
     ``pair_batch > 1`` runs that many pairs as one vmapped device dispatch
     (shared capacity auto-derived from the PCD headers when not given);
@@ -699,6 +759,7 @@ def run_batch_whole_registration(
     if nproc > 1:
         matches = process_shard(matches, pid, nproc)
         report_path = f"{report_path}.shard{pid}"
+    matches, report_mode = _filter_resumed(matches, report_path, resume)
     mesh = None
     if devices is not None and devices > 1:
         from pctpu.parallel.mesh import make_mesh
@@ -712,7 +773,8 @@ def run_batch_whole_registration(
     timer = StageTimer()
     count_success = 0
     count_failure = 0
-    open(report_path, "w").close()
+    if report_mode == "w":
+        open(report_path, "w").close()
 
     def result_stream():
         """Yield (match, fine IcpResult) — sequentially or pair-batched."""
@@ -780,16 +842,21 @@ def run_batch_whole_registration(
                 for m, fine in zip(chunk, results):
                     yield m, fine
 
-    for m, fine in result_stream():
-        log.green(f"Processing match: {m.query_idx} and {m.match_idx}")
-        fit = float(fine.fitness)
-        log.info(f"is icp converged: {bool(fine.converged)}, fitness score: {fit}")
-        if fit > cfg.failure_fitness:
-            log.red("3D ICP Failed. ")
-            count_failure += 1
-        else:
-            log.green("3D ICP Passed. ")
-            count_success += 1
+    with open(report_path + ".progress", report_mode) as progress:
+        for m, fine in result_stream():
+            log.green(f"Processing match: {m.query_idx} and {m.match_idx}")
+            fit = float(fine.fitness)
+            log.info(
+                f"is icp converged: {bool(fine.converged)}, fitness score: {fit}"
+            )
+            if fit > cfg.failure_fitness:
+                log.red("3D ICP Failed. ")
+                count_failure += 1
+            else:
+                log.green("3D ICP Passed. ")
+                count_success += 1
+            progress.write(f"{m.query_idx} {m.match_idx}\n")
+            progress.flush()
 
     n = max(len(matches), 1)
     log.green(f"[TIME] Avg Tiempo for 2nd Stage (fine): {timer.totals_ms['fine'] / n}")

@@ -354,3 +354,133 @@ def test_pipelined_driver_propagates_loader_errors(tmp_path):
             capacity=len(xyz), pair_batch=2,
             report_path=str(tmp_path / "r.txt"),
         )
+
+
+def test_filter_resumed_consumes_duplicates_as_multiset(tmp_path):
+    """A match file with duplicate pairs (which the reference processes
+    twice) must only skip as many occurrences as the progress file records."""
+    from pctpu.pipelines.registration import MatchResult, _filter_resumed
+
+    report = tmp_path / "rep.txt"
+    matches = [MatchResult(0, 1, 10.0), MatchResult(0, 1, 10.0),
+               MatchResult(2, 3, -5.0)]
+    # no resume: everything runs, report truncated
+    remaining, mode = _filter_resumed(matches, str(report), resume=False)
+    assert remaining == matches and mode == "w"
+    # resume with no progress file: everything runs
+    remaining, mode = _filter_resumed(matches, str(report), resume=True)
+    assert remaining == matches and mode == "w"
+    # one of the two duplicate (0,1) runs is recorded -> exactly one skipped
+    (tmp_path / "rep.txt.progress").write_text("0 1\n")
+    report.write_text("stub\n")
+    remaining, mode = _filter_resumed(matches, str(report), resume=True)
+    assert remaining == [MatchResult(0, 1, 10.0), MatchResult(2, 3, -5.0)]
+    assert mode == "a"
+
+
+@pytest.mark.slow
+def test_batch_driver_resume(tmp_path):
+    """--resume on the registration driver: a completed run resumes to a
+    no-op; a partially-recorded run re-registers only the missing pairs and
+    appends their report lines (crash-safe §5.4 policy extended to the
+    report-stream tools)."""
+    from pctpu.io.pcd import write_pcd
+
+    rng = np.random.default_rng(21)
+    xyz, labels = synth_scene(rng)
+    xyz2 = rigid(xyz, 14.0, [1.0, 0.5, 0.0]).astype(np.float32)
+    xyz3 = rigid(xyz, -9.0, [-0.5, 1.0, 0.0]).astype(np.float32)
+    cloud_dir = tmp_path / "clouds"
+    os.makedirs(cloud_dir)
+
+    def dump(idx, pts, labs):
+        n = len(pts)
+        write_pcd(
+            str(cloud_dir / f"{idx:06d}.pcd"),
+            {
+                "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+                "intensity": np.ones(n, np.float32),
+                "row": np.zeros(n, np.uint16), "col": np.zeros(n, np.uint16),
+                "t": np.zeros(n, np.uint32), "label": labs.astype(np.int16),
+            },
+        )
+
+    dump(0, xyz, labels)
+    dump(1, xyz2, labels)
+    dump(2, xyz3, labels)
+    match_file = tmp_path / "match_result.txt"
+    match_file.write_text("0 1 14.0\n0 2 -9.0\n")
+    report = tmp_path / "report.txt"
+    progress = tmp_path / "report.txt.progress"
+
+    full = run_batch_top_part_registration(
+        str(match_file), str(cloud_dir), report_path=str(report), flat_cap=4096
+    )
+    assert len(full) == 2
+    report_bytes = report.read_bytes()
+    assert progress.read_text().splitlines() == ["0 1", "0 2"]
+
+    # resume over a completed run: nothing to do, files untouched
+    again = run_batch_top_part_registration(
+        str(match_file), str(cloud_dir), report_path=str(report),
+        flat_cap=4096, resume=True,
+    )
+    assert again == []
+    assert report.read_bytes() == report_bytes
+    assert progress.read_text().splitlines() == ["0 1", "0 2"]
+
+    # crash after pair 1: progress + report hold only its line; resume runs
+    # only pair 2 and reproduces the full report byte-for-byte
+    lines = report_bytes.splitlines(keepends=True)
+    report.write_bytes(b"".join(lines[:1]))
+    progress.write_text("0 1\n")
+    rest = run_batch_top_part_registration(
+        str(match_file), str(cloud_dir), report_path=str(report),
+        flat_cap=4096, resume=True,
+    )
+    assert len(rest) == 1 and rest[0].query_idx == 0 and rest[0].match_idx == 2
+    assert report.read_bytes() == report_bytes
+    assert progress.read_text().splitlines() == ["0 1", "0 2"]
+
+    # a fresh non-resume run truncates both files (reference semantics)
+    run_batch_top_part_registration(
+        str(match_file), str(cloud_dir), report_path=str(report), flat_cap=4096
+    )
+    assert report.read_bytes() == report_bytes
+
+
+@pytest.mark.slow
+def test_whole_registration_resume(tmp_path):
+    """Resume for the ablation driver: progress sidecar recorded, a resumed
+    run skips completed pairs and the empty report file is preserved."""
+    from pctpu.io.pcd import save_cloud_pcd
+    from pctpu.pipelines.registration import run_batch_whole_registration
+
+    rng = np.random.default_rng(22)
+    xyz, labels = synth_scene(rng)
+    cloud_dir = tmp_path / "clouds"
+    cloud_dir.mkdir()
+    save_cloud_pcd(str(cloud_dir / "000000.pcd"),
+                   make_cloud(xyz, label=labels, capacity=4096))
+    save_cloud_pcd(str(cloud_dir / "000001.pcd"),
+                   make_cloud(rigid(xyz, 5.0, [0.5, 0.0, 0.0]), label=labels,
+                              capacity=4096))
+    mf = tmp_path / "match_result.txt"
+    mf.write_text("0 1 5.0\n1 0 -5.0\n")
+    report = tmp_path / "rep3d.txt"
+
+    counts = run_batch_whole_registration(
+        str(mf), str(cloud_dir), report_path=str(report), capacity=4096
+    )
+    assert sum(counts) == 2
+    assert report.read_bytes() == b""  # created-but-never-written quirk
+    progress = tmp_path / "rep3d.txt.progress"
+    assert progress.read_text().splitlines() == ["0 1", "1 0"]
+
+    counts2 = run_batch_whole_registration(
+        str(mf), str(cloud_dir), report_path=str(report), capacity=4096,
+        resume=True,
+    )
+    assert counts2 == (0, 0)
+    assert report.read_bytes() == b""
+    assert progress.read_text().splitlines() == ["0 1", "1 0"]
