@@ -484,3 +484,61 @@ def test_whole_registration_resume(tmp_path):
     assert counts2 == (0, 0)
     assert report.read_bytes() == b""
     assert progress.read_text().splitlines() == ["0 1", "1 0"]
+
+
+@pytest.mark.slow
+def test_batch_driver_resume_with_pair_batch(tmp_path):
+    """--resume composes with the pipelined pair_batch path: filtering
+    happens before chunking, so a resumed run re-chunks only the remaining
+    pairs (including a padded short tail)."""
+    from pctpu.io.pcd import write_pcd
+
+    rng = np.random.default_rng(23)
+    xyz, labels = synth_scene(rng)
+    cloud_dir = tmp_path / "clouds"
+    os.makedirs(cloud_dir)
+
+    def dump(idx, pts, labs):
+        n = len(pts)
+        write_pcd(
+            str(cloud_dir / f"{idx:06d}.pcd"),
+            {
+                "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+                "intensity": np.ones(n, np.float32),
+                "row": np.zeros(n, np.uint16), "col": np.zeros(n, np.uint16),
+                "t": np.zeros(n, np.uint32), "label": labs.astype(np.int16),
+            },
+        )
+
+    dump(0, xyz, labels)
+    dump(1, rigid(xyz, 8.0, [1.0, 0.0, 0.0]), labels)
+    dump(2, rigid(xyz, -6.0, [0.0, 1.0, 0.0]), labels)
+    match_file = tmp_path / "match_result.txt"
+    match_file.write_text("0 1 8.0\n0 2 -6.0\n1 2 -14.0\n")
+    report = tmp_path / "report.txt"
+    cap = len(xyz)
+
+    full = run_batch_top_part_registration(
+        str(match_file), str(cloud_dir), report_path=str(report),
+        flat_cap=4096, capacity=cap, pair_batch=2,
+    )
+    assert len(full) == 3
+    progress = tmp_path / "report.txt.progress"
+    assert progress.read_text().splitlines() == ["0 1", "0 2", "1 2"]
+    full_lines = report.read_text().splitlines()
+
+    # first chunk (2 pairs) completed, crash before the tail chunk
+    progress.write_text("0 1\n0 2\n")
+    n_success_first = sum(1 for r in full[:2] if r.success)
+    report.write_text(
+        "".join(line + "\n" for line in full_lines[:n_success_first])
+    )
+    rest = run_batch_top_part_registration(
+        str(match_file), str(cloud_dir), report_path=str(report),
+        flat_cap=4096, capacity=cap, pair_batch=2, resume=True,
+    )
+    assert [(r.query_idx, r.match_idx) for r in rest] == [(1, 2)]
+    # the resumed tail (1 pair into a pair_batch=2 program) reproduces the
+    # same report lines the uninterrupted run produced
+    assert report.read_text().splitlines() == full_lines
+    assert progress.read_text().splitlines() == ["0 1", "0 2", "1 2"]
