@@ -24,3 +24,15 @@ def test_end_to_end_demo(tmp_path, monkeypatch, capsys):
     for line in lines:
         dxy, dyaw = (float(v) for v in line.split())
         assert abs(dxy) < 1.5 and abs(dyaw) < 5.0
+
+
+@pytest.mark.slow
+def test_library_quickstart(tmp_path, monkeypatch, capsys):
+    """The docs/API.md quickstart runs as written (examples/library_quickstart)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import library_quickstart
+
+    monkeypatch.setattr(sys, "argv", ["library_quickstart.py", str(tmp_path)])
+    assert library_quickstart.main() == 0
+    out = capsys.readouterr().out
+    assert "quickstart OK" in out
