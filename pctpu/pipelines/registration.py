@@ -26,7 +26,7 @@ import numpy as np
 
 from pctpu.cloud import Cloud
 from pctpu.config import RegistrationConfig
-from pctpu.geom.se3 import yaw_rotation_4x4
+from pctpu.geom.se3 import eigen_inverse3_f32, matmul3_f32, yaw_rotation_4x4
 from pctpu.io.pcd import load_cloud_pcd
 from pctpu.io.poses import _ostream_float  # C++ ostream<<float emulation
 from pctpu.ops.icp import icp_point_to_plane, icp_point_to_point
@@ -65,7 +65,12 @@ def load_match_results(path: str) -> list[MatchResult]:
                     f"malformed match_result line {lineno}: {line.strip()!r} "
                     "(want 'query_idx match_idx yaw_guess')"
                 )
-            matches.append(MatchResult(int(tok[0]), int(tok[1]), float(tok[2])))
+            # the reference parses the guess into a C float (``ss >> match.
+            # angle_guess``, :265-266) — keep the f32-rounded value so the
+            # guess-angle chain sees identical inputs
+            matches.append(
+                MatchResult(int(tok[0]), int(tok[1]), float(np.float32(tok[2])))
+            )
     return matches
 
 
@@ -99,9 +104,25 @@ def _coarse_two_guesses(src, src_mask, tgt, tgt_mask, tgt_normals, normal_ok,
     return jax.vmap(run)(guesses)
 
 
+def _guess_angle_rad(angle_guess_deg: float, offset_deg: float = 0.0) -> float:
+    """The reference's exact mixed f32/f64 guess-angle chain
+    (/root/reference/BatchTopPartRegistration.cpp:416-420,
+    BatchWholeRegistration.cpp:374): ``angle_guess`` is a C float
+    (``ss >>``), ``(angle + 180.0f) / 180.0f`` evaluates in f32, and only
+    the ``* M_PI`` promotes to double (AngleAxisd).  A pure-double chain
+    differs by ~1e-6 deg for non-f32-exact guesses — enough to flip an ICP
+    convergence knife-edge vs the C++ binary."""
+    a = np.float32(angle_guess_deg)
+    if offset_deg:
+        a = np.float32(a + np.float32(offset_deg))
+    return float(np.float32(a / np.float32(180.0))) * math.pi
+
+
 def _guess_pair_np(angle_guess_deg: float) -> np.ndarray:
-    g1 = yaw_rotation_4x4(angle_guess_deg / 180.0 * math.pi).astype(np.float32)
-    g2 = yaw_rotation_4x4((angle_guess_deg + 180.0) / 180.0 * math.pi).astype(np.float32)
+    g1 = yaw_rotation_4x4(_guess_angle_rad(angle_guess_deg)).astype(np.float32)
+    g2 = yaw_rotation_4x4(
+        _guess_angle_rad(angle_guess_deg, 180.0)
+    ).astype(np.float32)
     return np.stack([g1, g2])
 
 
@@ -229,7 +250,13 @@ def register_pairs(
     north-star window."""
     timer = timer or StageTimer()
     c1, c2, best = _coarse_stage_batched(pairs, cfg, flat_cap, timer, mesh)
-    n = len(pairs)
+    return _pair_results(len(pairs), c1, c2, best, cfg, timer)
+
+
+def _pair_results(n, c1, c2, best, cfg, timer):
+    """Coarse winners → per-pair (best coarse, fine-or-None) numpy tuples —
+    the optional-refinement tail shared by ``register_pairs`` and the
+    pipelined stream's fine half."""
     if not cfg.use_refinement:
         return [
             (jax.tree.map(lambda a: a[i], best), None) for i in range(n)
@@ -241,6 +268,23 @@ def register_pairs(
     ]
 
 
+def _shard_pair_batch(mesh, n, c1, c2, guesses):
+    """Constrain a stacked pair batch to the mesh's 'data' axis (pure data
+    parallelism over pairs).  ``n`` must divide evenly — GSPMD would
+    otherwise silently replicate the ragged remainder."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    if n % mesh.shape["data"]:
+        raise ValueError(
+            f"len(pairs)={n} must be a multiple of the mesh data axis "
+            f"({mesh.shape['data']})"
+        )
+    sharding = NamedSharding(mesh, PartitionSpec("data"))
+    c1 = jax.tree.map(lambda x: jax.device_put(x, sharding), c1)
+    c2 = jax.tree.map(lambda x: jax.device_put(x, sharding), c2)
+    return c1, c2, jax.device_put(guesses, sharding)
+
+
 def _coarse_stage_batched(pairs, cfg, flat_cap, timer, mesh):
     """Stack + flat prep + both coarse ICPs for one pair batch (the
     reference's 1st-stage span).  Returns (c1, c2, best-as-numpy)."""
@@ -249,17 +293,7 @@ def _coarse_stage_batched(pairs, cfg, flat_cap, timer, mesh):
     guesses = jnp.asarray(np.stack([_guess_pair_np(p[2]) for p in pairs]))
     n = len(pairs)
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        if n % mesh.shape["data"]:
-            raise ValueError(
-                f"len(pairs)={n} must be a multiple of the mesh data axis "
-                f"({mesh.shape['data']})"
-            )
-        sharding = NamedSharding(mesh, PartitionSpec("data"))
-        c1 = jax.tree.map(lambda x: jax.device_put(x, sharding), c1)
-        c2 = jax.tree.map(lambda x: jax.device_put(x, sharding), c2)
-        guesses = jax.device_put(guesses, sharding)
+        c1, c2, guesses = _shard_pair_batch(mesh, n, c1, c2, guesses)
 
     with timer.stage("coarse", items=n):
         s, t, chk, nk_raw = jax.vmap(
@@ -345,16 +379,7 @@ def register_pairs_pipelined(
         return len(pairs), c1, c2, best
 
     def fine_half(n, c1, c2, best):
-        if not cfg.use_refinement:
-            return [
-                (jax.tree.map(lambda a: a[i], best), None) for i in range(n)
-            ]
-        fine = _fine_stage_batched(c1, c2, best, cfg, timer)
-        return [
-            (jax.tree.map(lambda x: x[i], best),
-             jax.tree.map(lambda x: x[i], fine))
-            for i in range(n)
-        ]
+        return _pair_results(n, c1, c2, best, cfg, timer)
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
         fut = None
@@ -383,23 +408,13 @@ def register_whole_pairs(
     c2 = _stack_pairs([p[1] for p in pairs])
     guesses = jnp.asarray(
         np.stack([
-            yaw_rotation_4x4(p[2] / 180.0 * math.pi).astype(np.float32)
+            yaw_rotation_4x4(_guess_angle_rad(p[2])).astype(np.float32)
             for p in pairs
         ])
     )
     n = len(pairs)
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        if n % mesh.shape["data"]:
-            raise ValueError(
-                f"len(pairs)={n} must be a multiple of the mesh data axis "
-                f"({mesh.shape['data']})"
-            )
-        sharding = NamedSharding(mesh, PartitionSpec("data"))
-        c1 = jax.tree.map(lambda x: jax.device_put(x, sharding), c1)
-        c2 = jax.tree.map(lambda x: jax.device_put(x, sharding), c2)
-        guesses = jax.device_put(guesses, sharding)
+        c1, c2, guesses = _shard_pair_batch(mesh, n, c1, c2, guesses)
 
     fine = _fine_stage_common(c1, c2, guesses, cfg, timer)
     return [jax.tree.map(lambda x: x[i], fine) for i in range(n)]
@@ -480,6 +495,96 @@ def _rotmat_to_euler_f32(r: np.ndarray) -> np.ndarray:
     )
 
 
+def _load_pair_chunk(chunk, point_cloud_dir: str, capacity: int | None,
+                     pair_batch: int):
+    """Load one pair_batch chunk's PCDs into ``register_pairs``-style
+    (cloud_1, cloud_2, yaw_guess) tuples.  A short tail repeats its last
+    LOADED pair to keep the compiled batch shape (re-loading per padded slot
+    would re-read the same pcds); drivers drop the padded results by zipping
+    against the unpadded chunk."""
+    pairs = [
+        (
+            load_cloud_pcd(
+                os.path.join(point_cloud_dir, f"{m.query_idx:06d}.pcd"), capacity
+            ),
+            load_cloud_pcd(
+                os.path.join(point_cloud_dir, f"{m.match_idx:06d}.pcd"), capacity
+            ),
+            m.angle_guess,
+        )
+        for m in chunk
+    ]
+    pairs += [pairs[-1]] * (pair_batch - len(chunk))
+    return pairs
+
+
+def _prepare_batch_driver(match_results_filename, point_cloud_dir, report_path,
+                          capacity, pair_batch, devices, process_id,
+                          num_processes, resume):
+    """Shared preamble of the two batch registration drivers: load the match
+    list, shard it across hosts, derive the shared capacity from the FULL
+    (pre-resume) list (header-only reads — a resumed run then pads exactly
+    like the run it continues, and the sequential path compiles its stage
+    programs once instead of once per distinct cloud size), filter resumed
+    pairs, and build the optional data-parallel mesh (rounding pair_batch up
+    to a multiple of the device count).
+
+    Returns (matches, report_path, report_mode, capacity, pair_batch, mesh).
+    """
+    matches = load_match_results(match_results_filename)
+    from pctpu.parallel.distributed import process_shard
+
+    pid = jax.process_index() if process_id is None else process_id
+    nproc = jax.process_count() if num_processes is None else num_processes
+    if nproc > 1:
+        matches = process_shard(matches, pid, nproc)
+        report_path = f"{report_path}.shard{pid}"
+    if capacity is None:
+        capacity = _auto_capacity(matches, point_cloud_dir)
+        log.info(f"capacity auto-derived from headers: {capacity}")
+    matches, report_mode = _filter_resumed(matches, report_path, resume)
+    mesh = None
+    if devices is not None and devices > 1:
+        from pctpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=devices, n_points=1)
+        if pair_batch % devices:
+            pair_batch = -(-pair_batch // devices) * devices
+    return matches, report_path, report_mode, capacity, pair_batch, mesh
+
+
+def _pair_precision(t_coarse: np.ndarray, t_fine: np.ndarray) -> tuple[float, float]:
+    """The precision-report Δxy/Δyaw with the reference's exact f32/f64
+    arithmetic (/root/reference/BatchTopPartRegistration.cpp:512-524):
+
+    - ``float diff_x/diff_y/diff_xy`` — all-f32 differences and sqrt;
+    - ``rela_rot = fine_rot.inverse() * coarse_rot`` in Eigen f32
+      (cofactor inverse + lazy-product order — ``eigen_inverse3_f32`` /
+      ``matmul3_f32``, not LAPACK/BLAS whose ulp rounding differs);
+    - the custom f32 euler extraction (:290-309);
+    - ``float diff_yaw = angles(2) / M_PI * 180.0f`` — the division/multiply
+      promote to double, the *assignment* rounds to f32, and the ±360° wrap
+      then runs in f32 arithmetic (:523-525).
+
+    Returned as Python floats holding the exact f32 values, which
+    ``_ostream_float`` prints at 6 significant digits like
+    ``ostream << float``."""
+    diff_x = np.float32(t_fine[0, 3]) - np.float32(t_coarse[0, 3])
+    diff_y = np.float32(t_fine[1, 3]) - np.float32(t_coarse[1, 3])
+    diff_xy = float(np.sqrt(diff_x * diff_x + diff_y * diff_y))
+    rela_rot = matmul3_f32(
+        eigen_inverse3_f32(t_fine[:3, :3]), t_coarse[:3, :3]
+    )
+    diff_yaw = np.float32(
+        float(_rotmat_to_euler_f32(rela_rot)[2]) / math.pi * 180.0
+    )
+    if diff_yaw > np.float32(180.0):
+        diff_yaw = np.float32(diff_yaw - np.float32(360.0))
+    if diff_yaw < np.float32(-180.0):
+        diff_yaw = np.float32(diff_yaw + np.float32(360.0))
+    return diff_xy, float(diff_yaw)
+
+
 def _auto_capacity(matches: list[MatchResult], point_cloud_dir: str,
                    step: int = 8192) -> int:
     """Shared cloud capacity for pair batching: the max POINTS over every
@@ -550,10 +655,13 @@ def run_batch_top_part_registration(
     """The batch evaluator.  Returns per-pair reports; writes the precision
     report and prints the reference-style summary.
 
-    ``pair_batch > 1`` runs that many pairs as one vmapped device dispatch
-    (requires an explicit ``capacity`` so all clouds share one shape);
+    ``pair_batch > 1`` runs that many pairs as one vmapped device dispatch;
     ``devices=N`` additionally shards the pair axis over an N-way
-    data-parallel mesh (pair_batch must be a multiple of N).
+    data-parallel mesh (pair_batch must be a multiple of N).  When
+    ``capacity`` is None a shared one is derived from the PCD headers of the
+    full match list — every pair (sequential or batched) then reuses the
+    same compiled stage programs, and resumed runs pad identically to the
+    run they continue.
 
     ``process_id``/``num_processes`` shard the match list across hosts
     (pctpu.parallel.distributed); each host writes
@@ -568,31 +676,16 @@ def run_batch_top_part_registration(
     before the progress line, so a crash can at worst re-run (and re-append)
     the in-flight pair, never lose a recorded one.  The printed summary
     covers only the pairs processed by this invocation."""
-    matches = load_match_results(match_results_filename)
-    from pctpu.parallel.distributed import process_shard
-
-    pid = jax.process_index() if process_id is None else process_id
-    nproc = jax.process_count() if num_processes is None else num_processes
-    if nproc > 1:
-        matches = process_shard(matches, pid, nproc)
-        report_path = f"{report_path}.shard{pid}"
-    matches, report_mode = _filter_resumed(matches, report_path, resume)
-    mesh = None
-    if devices is not None and devices > 1:
-        from pctpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(n_data=devices, n_points=1)
-        if pair_batch % devices:
-            pair_batch = -(-pair_batch // devices) * devices
+    matches, report_path, report_mode, capacity, pair_batch, mesh = (
+        _prepare_batch_driver(
+            match_results_filename, point_cloud_dir, report_path, capacity,
+            pair_batch, devices, process_id, num_processes, resume,
+        )
+    )
     timer = StageTimer()
     reports: list[PairReport] = []
     count_success = 0
     count_failure = 0
-    if pair_batch > 1 and capacity is None:
-        # derive a shared capacity from the PCD headers (header-only reads):
-        # all clouds in a batch must share one padded shape
-        capacity = _auto_capacity(matches, point_cloud_dir)
-        log.info(f"pair_batch capacity auto-derived from headers: {capacity}")
 
     def result_stream():
         """Yield (match, best, fine) — sequentially or pair-batched."""
@@ -614,39 +707,16 @@ def run_batch_top_part_registration(
             for start in range(0, len(matches), pair_batch)
         ]
 
-        def chunk_loader(chunk):
-            def load():
-                pairs = [
-                    (
-                        load_cloud_pcd(
-                            os.path.join(
-                                point_cloud_dir, f"{m.query_idx:06d}.pcd"
-                            ),
-                            capacity,
-                        ),
-                        load_cloud_pcd(
-                            os.path.join(
-                                point_cloud_dir, f"{m.match_idx:06d}.pcd"
-                            ),
-                            capacity,
-                        ),
-                        m.angle_guess,
-                    )
-                    for m in chunk
-                ]
-                # a short tail repeats its last LOADED pair to keep the
-                # compiled shape (re-loading per padded slot would re-read
-                # the same pcds)
-                pairs += [pairs[-1]] * (pair_batch - len(chunk))
-                return pairs
-
-            return load
-
         # software pipeline: batch k+1 loads + runs its coarse stage on a
         # worker thread while batch k's fine stage runs here
         stream = register_pairs_pipelined(
-            (chunk_loader(c) for c in chunks), cfg, flat_cap=flat_cap,
-            timer=timer, mesh=mesh,
+            (
+                functools.partial(
+                    _load_pair_chunk, c, point_cloud_dir, capacity, pair_batch
+                )
+                for c in chunks
+            ),
+            cfg, flat_cap=flat_cap, timer=timer, mesh=mesh,
         )
         for chunk, results in zip(chunks, stream):
             for m, (best, fine) in zip(chunk, results):
@@ -687,17 +757,7 @@ def run_batch_top_part_registration(
                 _mark_done(m)
                 continue
 
-            diff_x = np.float32(t_fine[0, 3]) - np.float32(t_coarse[0, 3])
-            diff_y = np.float32(t_fine[1, 3]) - np.float32(t_coarse[1, 3])
-            diff_xy = float(np.sqrt(diff_x * diff_x + diff_y * diff_y))
-            rela_rot = np.linalg.inv(t_fine[:3, :3].astype(np.float32)) @ t_coarse[
-                :3, :3
-            ].astype(np.float32)
-            diff_yaw = float(_rotmat_to_euler_f32(rela_rot)[2]) / math.pi * 180.0
-            if diff_yaw > 180.0:
-                diff_yaw -= 360.0
-            if diff_yaw < -180.0:
-                diff_yaw += 360.0
+            diff_xy, diff_yaw = _pair_precision(t_coarse, t_fine)
             log.info(f"diff_xy: {diff_xy}, diff_yaw: {diff_yaw}")
             report.write(f"{_ostream_float(diff_xy)} {_ostream_float(diff_yaw)}\n")
             report.flush()  # before the progress mark: re-run beats lost line
@@ -741,7 +801,8 @@ def run_batch_whole_registration(
     returned/printed counts cover only this invocation's pairs.
 
     ``pair_batch > 1`` runs that many pairs as one vmapped device dispatch
-    (shared capacity auto-derived from the PCD headers when not given);
+    (shared capacity auto-derived from the full match list's PCD headers
+    when not given, like ``run_batch_top_part_registration``);
     ``devices=N`` shards the pair axis over an N-way data-parallel mesh —
     the same plumbing as ``run_batch_top_part_registration``.
 
@@ -751,25 +812,12 @@ def run_batch_whole_registration(
 
     if cfg is None:
         cfg = RegistrationConfig(fine=WHOLE_ICP)
-    matches = load_match_results(match_results_filename)
-    from pctpu.parallel.distributed import process_shard
-
-    pid = jax.process_index() if process_id is None else process_id
-    nproc = jax.process_count() if num_processes is None else num_processes
-    if nproc > 1:
-        matches = process_shard(matches, pid, nproc)
-        report_path = f"{report_path}.shard{pid}"
-    matches, report_mode = _filter_resumed(matches, report_path, resume)
-    mesh = None
-    if devices is not None and devices > 1:
-        from pctpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(n_data=devices, n_points=1)
-        if pair_batch % devices:
-            pair_batch = -(-pair_batch // devices) * devices
-    if pair_batch > 1 and capacity is None:
-        capacity = _auto_capacity(matches, point_cloud_dir)
-        log.info(f"pair_batch capacity auto-derived from headers: {capacity}")
+    matches, report_path, report_mode, capacity, pair_batch, mesh = (
+        _prepare_batch_driver(
+            match_results_filename, point_cloud_dir, report_path, capacity,
+            pair_batch, devices, process_id, num_processes, resume,
+        )
+    )
     timer = StageTimer()
     count_success = 0
     count_failure = 0
@@ -789,13 +837,17 @@ def run_batch_whole_registration(
                 with timer.stage("fine"):
                     guess = jnp.asarray(
                         yaw_rotation_4x4(
-                            m.angle_guess / 180.0 * math.pi
+                            _guess_angle_rad(m.angle_guess)
                         ).astype(np.float32)
                     )
                     s_xyz, s_mask, _ = _voxel_full(c1, cfg.voxel_leaf)
                     t_xyz, t_mask, _ = _voxel_full(c2, cfg.voxel_leaf)
+                    # seed_nn mirrors the batched path (_stage_fine): the
+                    # sequential and pair_batch>1 drivers must run the same
+                    # ICP configuration
                     fine = icp_point_to_point(
-                        s_xyz, s_mask, t_xyz, t_mask, guess, cfg.fine
+                        s_xyz, s_mask, t_xyz, t_mask, guess, cfg.fine,
+                        seed_nn=cfg.seed_nn,
                     )
                     fine = jax.tree.map(np.asarray, jax.device_get(fine))
                 yield m, fine
@@ -808,23 +860,7 @@ def run_batch_whole_registration(
         ]
 
         def load_chunk(chunk):
-            pairs = [
-                (
-                    load_cloud_pcd(
-                        os.path.join(point_cloud_dir, f"{m.query_idx:06d}.pcd"),
-                        capacity,
-                    ),
-                    load_cloud_pcd(
-                        os.path.join(point_cloud_dir, f"{m.match_idx:06d}.pcd"),
-                        capacity,
-                    ),
-                    m.angle_guess,
-                )
-                for m in chunk
-            ]
-            # short tail repeats the last loaded pair to keep the compiled shape
-            pairs += [pairs[-1]] * (pair_batch - len(chunk))
-            return pairs
+            return _load_pair_chunk(chunk, point_cloud_dir, capacity, pair_batch)
 
         # prefetch chunk k+1's PCD loads on a worker thread under chunk k's
         # device dispatch — the same overlap the top-part driver gets from

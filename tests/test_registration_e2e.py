@@ -542,3 +542,45 @@ def test_batch_driver_resume_with_pair_batch(tmp_path):
     # same report lines the uninterrupted run produced
     assert report.read_text().splitlines() == full_lines
     assert progress.read_text().splitlines() == ["0 1", "0 2", "1 2"]
+
+
+@pytest.mark.slow
+def test_resume_capacity_from_full_match_list(tmp_path, capsys):
+    """Auto-derived capacity comes from the FULL (pre-resume) match list, so
+    a resumed run pads exactly like the run it continues even when the pairs
+    referencing the biggest cloud are already done."""
+    from pctpu.io.pcd import save_cloud_pcd
+
+    rng = np.random.default_rng(31)
+    xyz, labels = synth_scene(rng)          # ~3k points
+    big = np.concatenate([xyz] * 4)         # ~12k points -> capacity 16384
+    big_labels = np.concatenate([labels] * 4)
+    cloud_dir = tmp_path / "clouds"
+    cloud_dir.mkdir()
+    save_cloud_pcd(str(cloud_dir / "000000.pcd"), make_cloud(big, label=big_labels))
+    save_cloud_pcd(str(cloud_dir / "000001.pcd"),
+                   make_cloud(rigid(big, 7.0, [0.5, 0.0, 0.0]), label=big_labels))
+    save_cloud_pcd(str(cloud_dir / "000002.pcd"), make_cloud(xyz, label=labels))
+    save_cloud_pcd(str(cloud_dir / "000003.pcd"),
+                   make_cloud(rigid(xyz, -5.0, [0.0, 0.5, 0.0]), label=labels))
+    mf = tmp_path / "match_result.txt"
+    mf.write_text("0 1 7.0\n2 3 -5.0\n")
+    report = tmp_path / "report.txt"
+
+    run_batch_top_part_registration(
+        str(mf), str(cloud_dir), report_path=str(report), flat_cap=4096
+    )
+    first = [line for line in capsys.readouterr().out.splitlines()
+             if "capacity auto-derived" in line]
+    assert first, "expected the capacity log line"
+
+    # pair (0,1) — the one touching the big clouds — is done; resume must
+    # still derive the ORIGINAL capacity, not one from the small remainder
+    (tmp_path / "report.txt.progress").write_text("0 1\n")
+    run_batch_top_part_registration(
+        str(mf), str(cloud_dir), report_path=str(report), flat_cap=4096,
+        resume=True,
+    )
+    resumed = [line for line in capsys.readouterr().out.splitlines()
+               if "capacity auto-derived" in line]
+    assert resumed == first
