@@ -63,6 +63,31 @@ def eigen_euler_angles_xyz(r: np.ndarray) -> np.ndarray:
     return -np.array([res0, res1, res2], np.float64)
 
 
+def eigen_euler_angles_zyx(r: np.ndarray) -> np.ndarray:
+    """Emulate ``Eigen::Matrix3d::eulerAngles(2, 1, 0)`` — the Oxford
+    selector's LOCAL ``Pose6f::interpolate`` uses this Eigen call
+    (/root/reference/OxfordPointCloudSelect.cpp:84-99) where the shared
+    Utility.h version deliberately avoids it, so interpolated Oxford
+    keyframe poses carry Eigen's euler convention in the CSV.  Returns
+    (yaw, pitch, roll) with R = Rz(yaw) @ Ry(pitch) @ Rx(roll) and
+    yaw in [0, pi] — for headings with conventional yaw < 0 this is the
+    ALTERNATE euler triple (all three angles differ from the custom
+    extraction's), which still reconstructs the same rotation."""
+    r = np.asarray(r, np.float64)
+    # Eigen's generic Graphics-Gems path for the odd permutation (2,1,0):
+    # odd=1, i=2, j=1, k=0 (see eigen_euler_angles_xyz for the even twin)
+    res0 = np.arctan2(r[1, 0], r[0, 0])
+    c2 = np.hypot(r[2, 2], r[2, 1])
+    if res0 < 0:
+        res0 += np.pi
+        res1 = np.arctan2(-r[2, 0], -c2)
+    else:
+        res1 = np.arctan2(-r[2, 0], c2)
+    s1, c1 = np.sin(res0), np.cos(res0)
+    res2 = np.arctan2(s1 * r[0, 2] - c1 * r[1, 2], c1 * r[1, 1] - s1 * r[0, 1])
+    return np.array([res0, res1, res2], np.float64)
+
+
 def euler_zyx_to_matrix(roll: float, pitch: float, yaw: float) -> np.ndarray:
     """R = Rz(yaw) @ Ry(pitch) @ Rx(roll), the composition used by the Oxford
     selector (/root/reference/OxfordPointCloudSelect.cpp:253-256)."""
@@ -239,9 +264,19 @@ class Pose6f:
         return np.array([self.x, self.y, self.z], np.float32)
 
 
-def interpolate_pose(pose_a: Pose6f, pose_b: Pose6f, ratio: float) -> Pose6f:
-    """Linear position + quaternion slerp, euler re-derived via the custom
-    extraction (/root/reference/include/Utility.h:51-71).
+def interpolate_pose(
+    pose_a: Pose6f, pose_b: Pose6f, ratio: float, euler: str = "utility"
+) -> Pose6f:
+    """Linear position + quaternion slerp, euler re-derived per ``euler``:
+
+    - ``"utility"`` — the custom extraction (Utility.h:51-71, the MulRan
+      path; the reference comments out the Eigen call there);
+    - ``"eigen_zyx"`` — ``rotation_matrix.eulerAngles(2,1,0)`` with
+      (yaw, pitch, roll) = the returned triple, the Oxford selector's LOCAL
+      ``Pose6f::interpolate`` (/root/reference/OxfordPointCloudSelect.cpp:
+      84-99).  For interpolated headings with conventional yaw < 0 the two
+      conventions give entirely different roll/pitch/yaw CSV columns (the
+      rotation matrix columns agree).
 
     The position mix promotes to double like the C++ (`x` is a float but
     `ratio` is a double, so ``x*(1-ratio) + pose_2.x*ratio`` is f64 math
@@ -255,14 +290,21 @@ def interpolate_pose(pose_a: Pose6f, pose_b: Pose6f, ratio: float) -> Pose6f:
     z = np.float32(np.float64(pose_a.z) * (1.0 - ratio) + np.float64(pose_b.z) * ratio)
     quat = quat_slerp(pose_a.rotation_quat, pose_b.rotation_quat, ratio)
     rotation = quat_to_matrix(quat)
-    euler = rotation_matrix_to_euler_angles(rotation)
+    if euler == "utility":
+        e = rotation_matrix_to_euler_angles(rotation)
+        roll, pitch, yaw = e[0], e[1], e[2]
+    elif euler == "eigen_zyx":
+        e = eigen_euler_angles_zyx(rotation)
+        yaw, pitch, roll = e[0], e[1], e[2]
+    else:
+        raise ValueError(f"euler must be 'utility' or 'eigen_zyx', got {euler!r}")
     return Pose6f(
         x=x,
         y=y,
         z=z,
-        roll=np.float32(euler[0]),
-        pitch=np.float32(euler[1]),
-        yaw=np.float32(euler[2]),
+        roll=np.float32(roll),
+        pitch=np.float32(pitch),
+        yaw=np.float32(yaw),
         rotation_matrix=rotation,
         rotation_quat=quat,
     )

@@ -121,10 +121,14 @@ def _run_interpolating_select(
     extract_fn,
     bin_name_fn,
     resume: bool = False,
+    euler: str = "utility",
 ) -> int:
     """Shared MulRan/Oxford skeleton: per-cloud pose by linear+slerp
     interpolation between bracketing GT poses
-    (/root/reference/MulranPointCloudSelect.cpp:320-346)."""
+    (/root/reference/MulranPointCloudSelect.cpp:320-346).  ``euler`` selects
+    the interpolated-pose euler convention: MulRan uses Utility.h's custom
+    extraction, Oxford's local Pose6f keeps Eigen ``eulerAngles(2,1,0)``
+    (see ``interpolate_pose``)."""
     write_pose_format_file(out_root + "keyframe_pose_format.csv")
 
     # pass 1: interpolate a pose for every cloud that has bracketing GT
@@ -150,7 +154,8 @@ def _run_interpolating_select(
                 np.float64(stamp - gt_stamps[gt_idx - 1])
                 / np.float64(gt_stamps[gt_idx] - gt_stamps[gt_idx - 1])
             )
-        pose = interpolate_pose(gt_poses[gt_idx - 1], gt_poses[gt_idx], lam)
+        pose = interpolate_pose(gt_poses[gt_idx - 1], gt_poses[gt_idx], lam,
+                                euler=euler)
         candidates.append((cloud_idx, stamp, pose))
 
     positions = np.array(
@@ -252,6 +257,9 @@ def run_oxford_select(
         extract,
         lambda s: f"{root}velodyne_left/{s:010d}.bin",
         resume=resume,
+        # Oxford's LOCAL Pose6f::interpolate keeps the Eigen eulerAngles
+        # call Utility.h comments out (OxfordPointCloudSelect.cpp:84-99)
+        euler="eigen_zyx",
     )
 
 

@@ -88,8 +88,13 @@ def make_mulran_tree(root: str, num_frames: int = 5, spacing_m: float = 3.0) -> 
         pts.tofile(os.path.join(root, "sensor_data", "Ouster", f"{s:010d}.bin"))
 
 
-def make_oxford_tree(root: str, num_frames: int = 5, spacing_m: float = 3.0) -> None:
-    """An Oxford-layout tree: velodyne_left/*.bin + .timestamps + gps/ins.csv."""
+def make_oxford_tree(root: str, num_frames: int = 5, spacing_m: float = 3.0,
+                     rpy_cols: tuple = (0.01, 0.02, 0.03)) -> None:
+    """An Oxford-layout tree: velodyne_left/*.bin + .timestamps + gps/ins.csv.
+
+    ``rpy_cols`` fills ins.csv tokens 12-14 (header roll,pitch,yaw) — note
+    the reference reads yaw from token 12 and roll from token 14, i.e. the
+    header-swapped order (OxfordPointCloudSelect.cpp:249-251)."""
     rng = np.random.default_rng(2)
     os.makedirs(os.path.join(root, "velodyne_left"), exist_ok=True)
     os.makedirs(os.path.join(root, "gps"), exist_ok=True)
@@ -104,7 +109,7 @@ def make_oxford_tree(root: str, num_frames: int = 5, spacing_m: float = 3.0) -> 
         easting = 600000.0 + (k - 0.5) * spacing_m
         rows.append(
             f"{t},INS_SOLUTION_GOOD,51.76,-1.26,114.7,5735848.0,{easting:.6f},"
-            f"-114.7,30U,0.1,0.0,0.0,0.01,0.02,0.03"
+            f"-114.7,30U,0.1,0.0,0.0,{rpy_cols[0]},{rpy_cols[1]},{rpy_cols[2]}"
         )
     with open(os.path.join(root, "gps", "ins.csv"), "w") as f:
         f.write("\n".join(rows) + "\n")

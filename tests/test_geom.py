@@ -137,3 +137,54 @@ def test_quat_helpers_do_not_renormalize():
     # indicate renormalization kicked in
     q2 = quat_slerp(q, quat_from_matrix(r), 0.37)
     assert abs(float(np.linalg.norm(q2)) - 1.0) < 1e-5  # near-unit, not exact
+
+
+def test_eigen_euler_angles_zyx_matches_eigen_branches():
+    """eulerAngles(2,1,0) emulation: principal recovery for yaw >= 0,
+    alternate triple (first angle wrapped into [0, pi]) for yaw < 0, exact
+    reconstruction either way (OxfordPointCloudSelect.cpp:84-99)."""
+    from pctpu.geom.se3 import eigen_euler_angles_zyx, euler_zyx_to_matrix
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        roll, yaw = rng.uniform(-np.pi, np.pi, 2)
+        pitch = rng.uniform(-np.pi / 2 + 0.01, np.pi / 2 - 0.01)
+        r = euler_zyx_to_matrix(roll, pitch, yaw)
+        e = eigen_euler_angles_zyx(r)
+        assert 0.0 <= e[0] <= np.pi + 1e-12
+        np.testing.assert_allclose(
+            euler_zyx_to_matrix(e[2], e[1], e[0]), r, atol=1e-12
+        )
+        if yaw >= 0:
+            np.testing.assert_allclose(e, [yaw, pitch, roll], atol=1e-9)
+        else:
+            np.testing.assert_allclose(e[0], yaw + np.pi, atol=1e-9)
+
+
+def test_interpolate_pose_euler_modes():
+    """euler='eigen_zyx' (Oxford local Pose6f) vs the Utility.h extraction:
+    same position/rotation, different euler triple when yaw < 0."""
+    from pctpu.geom.se3 import (
+        Pose6f,
+        euler_zyx_to_matrix,
+        interpolate_pose,
+        quat_from_matrix,
+    )
+
+    def mk(yaw):
+        r = euler_zyx_to_matrix(0.05, -0.1, yaw)
+        return Pose6f(x=np.float32(1.0), y=np.float32(2.0), z=np.float32(3.0),
+                      roll=np.float32(0.05), pitch=np.float32(-0.1),
+                      yaw=np.float32(yaw), rotation_matrix=r,
+                      rotation_quat=quat_from_matrix(r))
+
+    a, b = mk(-0.9), mk(-0.7)
+    pu = interpolate_pose(a, b, 0.5)
+    pe = interpolate_pose(a, b, 0.5, euler="eigen_zyx")
+    assert (pu.x, pu.y, pu.z) == (pe.x, pe.y, pe.z)
+    np.testing.assert_array_equal(pu.rotation_matrix, pe.rotation_matrix)
+    assert pu.yaw == pytest.approx(-0.8, abs=1e-3)        # custom extraction
+    assert pe.yaw == pytest.approx(-0.8 + np.pi, abs=1e-3)  # Eigen branch
+    assert pu.yaw != pe.yaw and pu.roll != pe.roll
+    with pytest.raises(ValueError):
+        interpolate_pose(a, b, 0.5, euler="bogus")

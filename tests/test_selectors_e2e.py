@@ -140,3 +140,46 @@ def test_selector_resume_skips_existing_pcds(tmp_path):
     assert n2 == n
     assert os.path.getmtime(marker) == before  # untouched on resume
     assert open(os.path.join(out, "keyframe_pose.csv")).read() == pose_csv_before
+
+
+def test_oxford_euler_convention_negative_yaw(tmp_path):
+    """Oxford's LOCAL Pose6f::interpolate derives euler via Eigen
+    eulerAngles(2,1,0) (OxfordPointCloudSelect.cpp:84-99) — for headings
+    with conventional yaw < 0 the CSV roll/pitch/yaw columns carry Eigen's
+    alternate triple (yaw in [0, pi]), NOT the custom extraction MulRan
+    uses.  (The euler consumers re-derive from the matrix, so this is a
+    byte-format contract of keyframe_pose.csv columns 4-6.)"""
+    import math
+
+    from pctpu.geom.se3 import euler_zyx_to_matrix
+    from pctpu.pipelines.selectors import run_oxford_select
+
+    root = str(tmp_path / "oxford")
+    # token 12 is the reference's YAW (header-swapped read, :249-251)
+    make_oxford_tree(root, num_frames=4, spacing_m=3.0,
+                     rpy_cols=(-0.8, 0.02, 0.01))
+    n = run_oxford_select(root, 2.0)
+    assert n == 4
+    out = os.path.join(root, "selected_keyframes_2.00m")
+    expected_rot = euler_zyx_to_matrix(0.01, 0.02, -0.8)
+    with open(os.path.join(out, "keyframe_pose.csv")) as f:
+        rows = [line.strip().split(",") for line in f if line.strip()]
+    assert len(rows) == 4
+    for fields in rows:
+        roll_col, pitch_col, yaw_col = (float(fields[4]), float(fields[5]),
+                                        float(fields[6]))
+        # Eigen branch: first angle wrapped into [0, pi]
+        assert 0.0 <= yaw_col <= math.pi + 1e-6
+        assert yaw_col == pytest.approx(-0.8 + math.pi, abs=1e-4)
+        # the alternate triple still encodes the same rotation
+        np.testing.assert_allclose(
+            euler_zyx_to_matrix(roll_col, pitch_col, yaw_col), expected_rot,
+            atol=1e-5,
+        )
+        mat = np.array([float(v) for v in fields[7:16]]).reshape(3, 3)
+        np.testing.assert_allclose(mat, expected_rot, atol=1e-5)
+    # the pose reader re-derives euler from the matrix via the custom
+    # extraction (BatchMultiBevGen.cpp:381-460), giving the conventional yaw
+    poses = read_keyframe_poses(os.path.join(out, "keyframe_pose.csv"))
+    for _, pose in poses:
+        assert pose.yaw == pytest.approx(-0.8, abs=1e-4)
