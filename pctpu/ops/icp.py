@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from pctpu.config import IcpConfig
 from pctpu.ops.knn import nn_1
 from pctpu.ops.pallas_knn import pallas_nn_1_pruned, spatial_sort_payload
+from pctpu.ops.transform import transform_xyz
 
 
 @jax.tree_util.register_dataclass
@@ -96,7 +97,9 @@ def _estimate_point_to_plane_lls(src, tgt, nrm, w):
 
 
 def _apply(m, pts):
-    return pts @ m[:3, :3].T + m[:3, 3]
+    # transform_xyz pins precision=HIGHEST itself, so this stays full-f32
+    # even if a caller ever runs outside jax.default_matmul_precision
+    return transform_xyz(pts, m)
 
 
 def icp(

@@ -107,6 +107,52 @@ def _finalize_normals(qt_c, other_c, count_i, v, curv, qm, vpc):
     return normal, curv, ok
 
 
+def _neighbor_prep(xyz, mask, viewpoint, tile):
+    """Shared setup for both neighborhood kernels: bbox centering, per-point
+    moment rows, masked squared norms, and tile padding.  The third mapped
+    operand is each tile's base query index, so kernels can address their
+    own (exact-zero) self column by INDEX."""
+    n = xyz.shape[0]
+    p2c, vpc = _centered(xyz, mask, viewpoint)
+    moments = _moment_matrix(p2c, mask)
+    t_sq_masked = jnp.where(mask, jnp.sum(p2c * p2c, axis=1), jnp.inf)
+    rem = (-n) % tile
+    tiles = (
+        jnp.pad(p2c, ((0, rem), (0, 0))).reshape(-1, tile, 2),
+        jnp.pad(mask, (0, rem)).reshape(-1, tile),
+        jnp.arange((n + rem) // tile, dtype=jnp.int32) * tile,
+    )
+    return n, p2c, vpc, moments, t_sq_masked, tiles
+
+
+def _tile_dist2(qt, base, p2c, t_sq_masked):
+    """Expanded-matmul squared distances with an EXACT zero self column.
+
+    ``|q|² − 2 q·t + |t|²`` on the MXU carries absolute error
+    ~|p−c|²·2⁻²³ (~6e-4 at 100 m from the bbox center), so the query's own
+    column — whose true distance is exactly 0 — could otherwise lose the
+    self slot to a near-coincident neighbor, or fall outside a tiny search
+    radius.  Forcing d[i, base+i] = 0 by index makes every
+    self-classification exact, like the kd-tree's; the residual error then
+    affects only genuine neighbors sitting within that window of the radius
+    boundary (see ``normals_2d``).  Padded rows address past the cloud and
+    their updates drop."""
+    prec = jax.lax.Precision.HIGHEST  # full f32 accumulation (see ops/knn.py)
+    d = (
+        jnp.sum(qt * qt, axis=1, keepdims=True)
+        - 2.0 * jnp.matmul(qt, p2c.T, precision=prec)
+        + t_sq_masked[None, :]
+    )
+    t = qt.shape[0]
+    return d.at[jnp.arange(t), base + jnp.arange(t)].set(0.0, mode="drop")
+
+
+def _tiles_epilogue(normal, curv, ok, n):
+    normal = normal.reshape(-1, 2)[:n]
+    normals3 = jnp.concatenate([normal, jnp.zeros((n, 1), jnp.float32)], axis=1)
+    return normals3, curv.reshape(-1)[:n], ok.reshape(-1)[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("tile",))
 def normals_2d(
     xyz: jnp.ndarray,
@@ -119,28 +165,23 @@ def normals_2d(
 
     valid is False for padding and for <2-neighbor points (NaN in the
     reference); their normal is (0,0,0) here so downstream masking is clean.
+
+    Boundary window (documented divergence): the self column is exact
+    (``_tile_dist2``), but other points' squared distances carry
+    ~|p−c|²·2⁻²³ absolute error, so a neighbor whose true d² lies within
+    that window of r² can classify differently than the kd-tree's exact
+    test — the same measure-zero class as the documented transcendental
+    noise floor.
     """
-    n = xyz.shape[0]
     r2 = jnp.float32(radius * radius)
-    p2c, vpc = _centered(xyz, mask, viewpoint)
-
-    moments = _moment_matrix(p2c, mask)
-    t_sq = jnp.sum(p2c * p2c, axis=1)
-    t_sq_masked = jnp.where(mask, t_sq, jnp.inf)
-
-    rem = (-n) % tile
-    p2_pad = jnp.pad(p2c, ((0, rem), (0, 0)))
-    mask_pad = jnp.pad(mask, (0, rem))
-
-    prec = jax.lax.Precision.HIGHEST  # full f32 accumulation (see ops/knn.py)
+    n, p2c, vpc, moments, t_sq_masked, tiles = _neighbor_prep(
+        xyz, mask, viewpoint, tile
+    )
+    prec = jax.lax.Precision.HIGHEST
 
     def one_tile(args):
-        qt, qm = args  # (tile, 2), (tile,)
-        d = (
-            jnp.sum(qt * qt, axis=1, keepdims=True)
-            - 2.0 * jnp.matmul(qt, p2c.T, precision=prec)
-            + t_sq_masked[None, :]
-        )
+        qt, qm, base = args  # (tile, 2), (tile,), ()
+        d = _tile_dist2(qt, base, p2c, t_sq_masked)
         # STRICT <: FLANN/nanoflann RadiusResultSet::addPoint uses
         # `dist < radius` on squared distances (nanoflann.hpp:249-250),
         # so a neighbor at exactly the search radius is excluded
@@ -149,22 +190,20 @@ def normals_2d(
         sums = jnp.matmul(nbr_f, moments, precision=prec)  # (tile, 6) on the MXU
         v, curv = _sums_to_normal(sums)
 
-        # the 2-neighbor "other" point = nearest neighbor excluding self
-        # (kd-tree order is by distance, so indices[1] is the second-closest
-        # = argmin after masking self out)
+        # the 2-neighbor "other" point = nearest neighbor excluding self;
+        # self is addressed by index (exact), not by argmin on noisy scores
+        t = qt.shape[0]
         masked_d = jnp.where(nbr, d, jnp.inf)
-        self_idx = jnp.argmin(masked_d, axis=1)
-        d_no_self = masked_d.at[jnp.arange(masked_d.shape[0]), self_idx].set(jnp.inf)
+        d_no_self = masked_d.at[
+            jnp.arange(t), base + jnp.arange(t)
+        ].set(jnp.inf, mode="drop")
         other_idx = jnp.argmin(d_no_self, axis=1)
 
         count_i = jnp.sum(nbr, axis=1)
         return _finalize_normals(qt, p2c[other_idx], count_i, v, curv, qm, vpc)
 
-    tiles = (p2_pad.reshape(-1, tile, 2), mask_pad.reshape(-1, tile))
     normal, curv, ok = jax.lax.map(one_tile, tiles)
-    normal = normal.reshape(-1, 2)[:n]
-    normals3 = jnp.concatenate([normal, jnp.zeros((n, 1), jnp.float32)], axis=1)
-    return normals3, curv.reshape(-1)[:n], ok.reshape(-1)[:n]
+    return _tiles_epilogue(normal, curv, ok, n)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile"))
@@ -186,24 +225,13 @@ def normals_2d_knn(
     """
     n = xyz.shape[0]
     k = min(k, n)
-    p2c, vpc = _centered(xyz, mask, viewpoint)
-
-    moments = _moment_matrix(p2c, mask)
-    t_sq = jnp.sum(p2c * p2c, axis=1)
-    t_sq_masked = jnp.where(mask, t_sq, jnp.inf)
-
-    rem = (-n) % tile
-    p2_pad = jnp.pad(p2c, ((0, rem), (0, 0)))
-    mask_pad = jnp.pad(mask, (0, rem))
-    prec = jax.lax.Precision.HIGHEST
+    _, p2c, vpc, moments, t_sq_masked, tiles = _neighbor_prep(
+        xyz, mask, viewpoint, tile
+    )
 
     def one_tile(args):
-        qt, qm = args
-        d = (
-            jnp.sum(qt * qt, axis=1, keepdims=True)
-            - 2.0 * jnp.matmul(qt, p2c.T, precision=prec)
-            + t_sq_masked[None, :]
-        )
+        qt, qm, base = args
+        d = _tile_dist2(qt, base, p2c, t_sq_masked)
         neg_d, idx = jax.lax.top_k(-d, k)  # ascending distance order
         picked = jnp.isfinite(neg_d) & qm[:, None]  # drop masked fill-ins
         count_i = jnp.sum(picked, axis=1)
@@ -213,15 +241,13 @@ def normals_2d_knn(
         )  # (tile, 6)
         v, curv = _sums_to_normal(sums)
 
-        # nearestKSearch order is ascending, so idx[:, 0] is self and
-        # idx[:, 1] the 2-neighbor "other" point
+        # nearestKSearch order is ascending and the self column is exactly 0
+        # (_tile_dist2), so idx[:, 0] is self and idx[:, 1] the 2-neighbor
+        # "other" point
         return _finalize_normals(qt, p2c[idx[:, 1]], count_i, v, curv, qm, vpc)
 
-    tiles = (p2_pad.reshape(-1, tile, 2), mask_pad.reshape(-1, tile))
     normal, curv, ok = jax.lax.map(one_tile, tiles)
-    normal = normal.reshape(-1, 2)[:n]
-    normals3 = jnp.concatenate([normal, jnp.zeros((n, 1), jnp.float32)], axis=1)
-    return normals3, curv.reshape(-1)[:n], ok.reshape(-1)[:n]
+    return _tiles_epilogue(normal, curv, ok, n)
 
 
 class Normal2dEstimation:

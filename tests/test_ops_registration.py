@@ -10,7 +10,7 @@ from pctpu.config import COARSE_ICP, FINE_ICP, IcpConfig
 from pctpu.geom.se3 import yaw_rotation_4x4
 from pctpu.ops.icp import icp_point_to_plane, icp_point_to_point
 from pctpu.ops.knn import knn, nn_1
-from pctpu.ops.normals2d import normals_2d
+from pctpu.ops.normals2d import normals_2d, normals_2d_knn
 from pctpu.ops.topflatten import extract_top_and_flatten
 from pctpu.ops.voxel import voxel_downsample
 
@@ -272,3 +272,37 @@ def test_valid_mask_batched():
     assert m.shape == (2, 5)
     np.testing.assert_array_equal(m[0], [True, True, False, False, False])
     np.testing.assert_array_equal(m[1], [True, True, True, True, False])
+
+
+def test_normals_near_coincident_pair_far_from_center():
+    """A 2-point neighborhood 1 cm apart at ~140 m from the bbox center:
+    the expanded-matmul d2 noise (~6e-4 absolute) used to let the neighbor
+    win the 'self' argmin slot, collapsing the pair to 'coincident' and
+    wrongly invalidating the normal.  The self column is now exact by index
+    (Normal2dEstimation.cpp:235-247 computes a valid pair normal for any
+    non-zero segment)."""
+    pts = np.array(
+        [
+            [100.0, 100.0],
+            [100.0, 100.01],       # 1 cm apart -> the 2-neighbor pair branch
+            [-100.0, -100.0],      # pulls the bbox center to ~0
+        ],
+        np.float32,
+    )
+    xyz = np.concatenate([pts, np.zeros((3, 1), np.float32)], axis=1)
+    ref_n, ref_valid = ref_impl.normals2d_ref(xyz, radius=2.0)
+    got_n, _, got_valid = normals_2d(xyz, np.ones(3, bool), radius=2.0, tile=64)
+    got_n = np.asarray(got_n)[:, :2]
+    assert list(ref_valid) == [True, True, False]
+    np.testing.assert_array_equal(np.asarray(got_valid), ref_valid)
+    # pair normal = perpendicular of the (0, 0.01) segment -> +/-x
+    dots = np.abs(np.sum(got_n[ref_valid] * ref_n[ref_valid], axis=1))
+    assert dots.min() > 1 - 1e-4
+
+    # knn mode: self slot is exact there too (idx[:, 0] must be self)
+    got_n2, _, got_valid2 = normals_2d_knn(xyz, np.ones(3, bool), k=2, tile=64)
+    ref_n2, ref_valid2 = ref_impl.normals2d_knn_ref(xyz, k=2)
+    np.testing.assert_array_equal(np.asarray(got_valid2), ref_valid2)
+    got_n2 = np.asarray(got_n2)[:, :2]
+    dots2 = np.abs(np.sum(got_n2[ref_valid2] * ref_n2[ref_valid2], axis=1))
+    assert dots2.min() > 1 - 1e-4
