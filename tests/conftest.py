@@ -26,3 +26,13 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:
     pass
+
+# opt-in line coverage (no coverage.py in this environment): PCTPU_COV=<out.json>
+_cov_out = os.environ.get("PCTPU_COV")
+if _cov_out:
+    from tests import covtrace
+
+    covtrace.start()
+
+    def pytest_sessionfinish(session, exitstatus):
+        covtrace.dump(_cov_out)
