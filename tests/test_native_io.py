@@ -59,3 +59,46 @@ def test_native_lzf_matches_python():
 
     # corrupt stream: native returns None (caller falls back / errors)
     assert nio.lzf_decompress(stream, 13) is None
+
+
+def test_python_fallbacks_match_native(tmp_path, monkeypatch):
+    """With the native library unavailable, every native_io entry point
+    falls back to the pure-Python writers and produces byte-identical
+    artifacts (the module's stated contract)."""
+    import pctpu.runtime.native_io as nio
+    from pctpu.io.csvfmt import format_csv
+
+    if not nio.native_available():
+        pytest.skip("native lib unavailable (nothing to compare against)")
+
+    rng = np.random.default_rng(4)
+    img_f = rng.uniform(-20, 300, (31, 33)).astype(np.float32)  # saturating
+    multi = (rng.integers(0, 2, (3, 16, 16), dtype=np.uint8)) * 255
+    mat = rng.uniform(-1e4, 1e4, (7, 5)).astype(np.float32)
+    row = mat[:1]  # exercises the single-row (no trailing newline) branch
+
+    nio.write_png(str(tmp_path / "native.png"), img_f)
+    nio.write_multi_bev(str(tmp_path / "native.bin"),
+                        str(tmp_path / "native_img"), multi)
+    native_csv = format_csv(mat)
+    native_row = format_csv(row)
+    assert nio.format_csv_f32(mat, 4) is not None
+
+    monkeypatch.setattr(nio, "_lib", None)
+    monkeypatch.setattr(nio, "_tried", True)
+    assert not nio.native_available()
+    assert nio.format_csv_f32(mat, 4) is None
+    assert nio.lzf_decompress(b"\x00x", 1) is None
+
+    nio.write_png(str(tmp_path / "py.png"), img_f)
+    nio.write_multi_bev(str(tmp_path / "py.bin"), str(tmp_path / "py_img"),
+                        multi)
+    assert (tmp_path / "py.png").read_bytes() \
+        == (tmp_path / "native.png").read_bytes()
+    assert (tmp_path / "py.bin").read_bytes() \
+        == (tmp_path / "native.bin").read_bytes()
+    for layer in range(3):
+        assert (tmp_path / "py_img" / f"{layer:02d}.png").read_bytes() \
+            == (tmp_path / "native_img" / f"{layer:02d}.png").read_bytes()
+    assert format_csv(mat) == native_csv
+    assert format_csv(row) == native_row

@@ -227,3 +227,32 @@ def test_corrupt_pcd_inputs_raise_cleanly(tmp_path):
     over.write_bytes(hdr + raw[hdr_end:])
     with pytest.raises(ValueError, match="truncated PCD"):
         read_pcd(str(over))
+
+
+def test_lzf_python_fallback_and_corrupt_streams(monkeypatch):
+    """The pure-Python LZF decoder (native lib absent): literal runs,
+    short + extended-length overlapping back references, and both corrupt
+    stream errors (PCL lzfDecompress semantics, io/pcd.py docstring)."""
+    import pctpu.runtime.native_io as nio
+    from pctpu.io.pcd import _lzf_decompress
+
+    monkeypatch.setattr(nio, "lzf_decompress", lambda data, size: None)
+
+    # literal + short back reference (overlapping copy)
+    stream = bytes([0x02]) + b"XYZ" + bytes([0xE0, 0x00, 0x02])
+    assert _lzf_decompress(stream, 12) == b"XYZXYZXYZXYZ"
+
+    # extended length (ctrl length field == 7 → extra length byte)
+    stream = bytes([0x01]) + b"AB" + bytes([0xE0, 0x05, 0x01])
+    assert _lzf_decompress(stream, 16) == b"AB" * 8
+
+    # back reference pointing before the output start
+    with pytest.raises(ValueError, match="reference before start"):
+        _lzf_decompress(bytes([0x40, 0x00]), 4)
+
+    # stream decodes to the wrong size
+    with pytest.raises(ValueError, match="expected 5 bytes, got 3"):
+        _lzf_decompress(bytes([0x02]) + b"abc", 5)
+
+    # round-trip a real compressed PCD through the Python decoder
+    assert _lzf_decompress(_lzf_compress_literals(b"x" * 100), 100) == b"x" * 100

@@ -190,3 +190,94 @@ def test_pose_format_file_is_byte_exact(tmp_path):
         "             rotation_matrix(1 0), rotation_matrix(1 1), rotation_matrix(1 2), "
         "             rotation_matrix(2 0), rotation_matrix(2 1), rotation_matrix(2 2)\n"
     )
+
+
+def test_batch_cloud_manip_pipeline_e2e(tmp_path, monkeypatch):
+    """In-process run_batch_cloud_manip: every output artifact byte-equals
+    the unbatched per-op composition (catches batch-stacking / writer /
+    tail-padding plumbing), plus resume semantics keyed on the labeled pcd
+    (/root/reference/BatchCloudManip.cpp:269-335).
+
+    The sensor constant is shrunk for speed; the real hardcoded HDL-64E
+    constant path is driven by test_parity_harness's subprocess CLI test."""
+    import jax.numpy as jnp
+
+    import pctpu.pipelines.batch_cloud_manip as bcm
+    from pctpu.cloud import Cloud, make_cloud
+    from pctpu.config import FloatBevConfig, GroundConfig, SensorParams
+    from pctpu.io.csvfmt import write_csv
+    from pctpu.io.pcd import save_cloud_pcd
+    from pctpu.io.png import write_gray_png
+    from pctpu.ops.bev import float_bev
+    from pctpu.ops.ground import mark_ground
+    from pctpu.ops.ordering import get_ordered_cloud
+    from pctpu.runtime.loader import load_xyzirct_arrays
+
+    small = SensorParams(n_scan=16, horizon_scan=64, ground_upper_scan=10,
+                         height_res=0.5)
+    monkeypatch.setattr(bcm, "HDL64E", small)
+
+    root = tmp_path / "tree"
+    in_dir = root / "keyframe_point_cloud"
+    in_dir.mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    for i in range(3):  # 3 clouds at batch_size=2 exercises the padded tail
+        n = 250
+        xyz = rng.uniform(-30, 30, (n, 3)).astype(np.float32)
+        xyz[:, 2] = rng.uniform(-2.2, 3.0, n).astype(np.float32)
+        c = make_cloud(
+            xyz,
+            intensity=rng.random(n).astype(np.float32),
+            row=rng.integers(0, small.n_scan, n).astype(np.int32),
+            col=rng.integers(0, small.horizon_scan, n).astype(np.int32),
+            label=np.full(n, -2, np.int32),
+        )
+        save_cloud_pcd(str(in_dir / f"{i:06d}.pcd"), c)
+
+    avg = bcm.run_batch_cloud_manip(str(root), batch_size=2)
+    assert avg > 0.0
+
+    from pctpu.io.pcd import read_pcd
+
+    for i in range(3):
+        short = f"{i:06d}"
+        arrays = load_xyzirct_arrays(str(in_dir / (short + ".pcd")),
+                                     small.grid_size)
+        one = Cloud(
+            xyz=jnp.asarray(arrays["xyz"]),
+            intensity=jnp.asarray(arrays["intensity"]),
+            row=jnp.asarray(arrays["row"]).astype(jnp.int32),
+            col=jnp.asarray(arrays["col"]).astype(jnp.int32),
+            t=jnp.asarray(arrays["t"]),
+            label=jnp.asarray(arrays["label"]).astype(jnp.int32),
+            count=jnp.asarray(arrays["count"]),
+        )
+        labeled, _ = mark_ground(get_ordered_cloud(one, small), small,
+                                 GroundConfig())
+        bev = np.asarray(float_bev(labeled, FloatBevConfig(filter_ground=True)))
+
+        exp_csv = tmp_path / f"exp_{short}.csv"
+        write_csv(str(exp_csv), bev)
+        assert (root / "output_bvm" / (short + ".csv")).read_bytes() \
+            == exp_csv.read_bytes()
+        exp_png = tmp_path / f"exp_{short}.png"
+        write_gray_png(str(exp_png), bev)
+        assert (root / "output_bvm" / (short + ".png")).read_bytes() \
+            == exp_png.read_bytes()
+
+        data, meta = read_pcd(str(root / "non_ground_point_cloud" / (short + ".pcd")))
+        assert meta["points"] == small.grid_size
+        np.testing.assert_array_equal(
+            data["label"], np.asarray(labeled.label).astype(np.int16))
+        np.testing.assert_array_equal(data["x"], np.asarray(labeled.xyz)[:, 0])
+        np.testing.assert_array_equal(
+            data["intensity"], np.asarray(labeled.intensity))
+
+    # resume: keyed on the last-written artifact (the labeled pcd) — only
+    # the cloud whose pcd is missing re-runs, finished outputs stay untouched
+    csv0 = root / "output_bvm" / "000000.csv"
+    mtime0 = csv0.stat().st_mtime_ns
+    (root / "non_ground_point_cloud" / "000002.pcd").unlink()
+    bcm.run_batch_cloud_manip(str(root), batch_size=2, resume=True)
+    assert (root / "non_ground_point_cloud" / "000002.pcd").exists()
+    assert csv0.stat().st_mtime_ns == mtime0

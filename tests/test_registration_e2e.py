@@ -584,3 +584,112 @@ def test_resume_capacity_from_full_match_list(tmp_path, capsys):
     resumed = [line for line in capsys.readouterr().out.splitlines()
                if "capacity auto-derived" in line]
     assert resumed == first
+
+
+def test_driver_coarse_only_and_failure_branches(tmp_path):
+    """The two early-exit consumer branches of the top-part driver:
+    use_refinement=False (coarse only, no report line) and
+    fitness > failure_fitness ("3D ICP Failed.", failure count, NaN
+    precision; /root/reference/BatchTopPartRegistration.cpp:507-541) —
+    plus the whole-registration failure count."""
+    from pctpu.config import WHOLE_ICP, RegistrationConfig
+    from pctpu.io.pcd import write_pcd
+    from pctpu.pipelines.registration import (
+        run_batch_top_part_registration,
+        run_batch_whole_registration,
+    )
+
+    rng = np.random.default_rng(11)
+    xyz, labels = synth_scene(rng)
+    xyz2 = rigid(xyz, 10.0, [1.0, 0.5, 0.0]).astype(np.float32)
+    cloud_dir = tmp_path / "clouds"
+    os.makedirs(cloud_dir)
+
+    def dump(idx, pts, labs):
+        n = len(pts)
+        write_pcd(
+            str(cloud_dir / f"{idx:06d}.pcd"),
+            {
+                "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+                "intensity": np.ones(n, np.float32),
+                "row": np.zeros(n, np.uint16), "col": np.zeros(n, np.uint16),
+                "t": np.zeros(n, np.uint32), "label": labs.astype(np.int16),
+            },
+        )
+
+    dump(0, xyz, labels)
+    dump(1, xyz2, labels)
+    match_file = tmp_path / "match_result.txt"
+    match_file.write_text("0 1 10.0\n")
+
+    # coarse only: fine is None → success=False report row, empty report file
+    rep = tmp_path / "coarse.txt"
+    reports = run_batch_top_part_registration(
+        str(match_file), str(cloud_dir),
+        cfg=RegistrationConfig(use_refinement=False),
+        report_path=str(rep), flat_cap=4096,
+    )
+    assert len(reports) == 1 and not reports[0].success
+    assert np.isnan(reports[0].fitness_fine) and np.isnan(reports[0].diff_yaw)
+    assert rep.read_text() == ""
+    assert (tmp_path / "coarse.txt.progress").read_text() == "0 1\n"
+
+    # failure gate: any fitness beats failure_fitness=-1 → failure branch
+    rep2 = tmp_path / "fail.txt"
+    reports = run_batch_top_part_registration(
+        str(match_file), str(cloud_dir),
+        cfg=RegistrationConfig(failure_fitness=-1.0),
+        report_path=str(rep2), flat_cap=4096,
+    )
+    assert len(reports) == 1 and not reports[0].success
+    assert np.isfinite(reports[0].fitness_fine)  # fine ran, gate rejected it
+    assert np.isnan(reports[0].diff_yaw)
+    assert rep2.read_text() == ""
+    assert (tmp_path / "fail.txt.progress").read_text() == "0 1\n"
+
+    counts = run_batch_whole_registration(
+        str(match_file), str(cloud_dir),
+        cfg=RegistrationConfig(fine=WHOLE_ICP, failure_fitness=-1.0),
+        report_path=str(tmp_path / "whole.txt"),
+    )
+    assert counts == (0, 1)
+
+
+def test_whole_registration_cli_main(tmp_path):
+    """The CLI shim end to end in-process: argv contract of
+    /root/reference/BatchWholeRegistration.cpp:311-321 plus the pctpu
+    extension flags, and the usage exit."""
+    import pytest as _pytest
+
+    from pctpu.cli.batch_whole_registration import main
+    from pctpu.io.pcd import write_pcd
+
+    rng = np.random.default_rng(3)
+    xyz, labels = synth_scene(rng)
+    xyz2 = rigid(xyz, 5.0, [0.5, -0.5, 0.0]).astype(np.float32)
+    cloud_dir = tmp_path / "clouds"
+    os.makedirs(cloud_dir)
+    for idx, pts in ((0, xyz), (1, xyz2)):
+        n = len(pts)
+        write_pcd(
+            str(cloud_dir / f"{idx:06d}.pcd"),
+            {
+                "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+                "intensity": np.ones(n, np.float32),
+                "row": np.zeros(n, np.uint16), "col": np.zeros(n, np.uint16),
+                "t": np.zeros(n, np.uint32), "label": labels.astype(np.int16),
+            },
+        )
+    match_file = tmp_path / "match_result.txt"
+    match_file.write_text("0 1 5.0\n1 0 -5.0\n")
+    report = tmp_path / "whole_report.txt"
+
+    rc = main([str(match_file), str(cloud_dir), f"--report={report}",
+               "--pair-batch=2"])
+    assert rc == 0
+    assert report.read_text() == ""  # created-but-never-written quirk
+    assert sorted((report.parent / (report.name + ".progress"))
+                  .read_text().splitlines()) == ["0 1", "1 0"]
+
+    with _pytest.raises(SystemExit):
+        main([])  # usage

@@ -183,3 +183,63 @@ def test_oxford_euler_convention_negative_yaw(tmp_path):
     poses = read_keyframe_poses(os.path.join(out, "keyframe_pose.csv"))
     for _, pose in poses:
         assert pose.yaw == pytest.approx(-0.8, abs=1e-4)
+
+
+def test_mulran_stamp_outside_gt_skipped(tmp_path):
+    """A cloud stamp with no bracketing GT pose logs the reference's error
+    and is skipped (MulRanPointCloudSelect.cpp monotone cursor miss)."""
+    from pctpu.pipelines.selectors import run_mulran_select
+
+    from .fixtures import make_mulran_tree
+
+    root = str(tmp_path)
+    make_mulran_tree(root, num_frames=5)
+    stamp_file = os.path.join(root, "sensor_data", "ouster_front_stamp.csv")
+    orphan = 9_000_000_000  # far beyond the last GT stamp
+    with open(stamp_file, "a") as f:
+        f.write(f"{orphan}\n")
+    np.zeros(4096 * 4, np.float32).tofile(
+        os.path.join(root, "sensor_data", "Ouster", f"{orphan:010d}.bin"))
+
+    n = run_mulran_select(root, 2.0)
+    assert n == 5  # the orphan never becomes a keyframe
+
+
+def test_oxford_missing_cloud_skipped(tmp_path):
+    """A selected keyframe whose .bin is missing logs 'Failed to open point
+    cloud file' and is skipped (OxfordPointCloudSelect.cpp open failure)."""
+    from pctpu.pipelines.selectors import run_oxford_select
+
+    from .fixtures import make_oxford_tree
+
+    root = str(tmp_path)
+    make_oxford_tree(root, num_frames=5)
+    bins = sorted(os.listdir(os.path.join(root, "velodyne_left")))
+    os.remove(os.path.join(root, "velodyne_left", bins[2]))
+
+    # pose row still written and counted; only the victim's pcd is missing
+    # (same contract as the mulran missing-cloud case)
+    n = run_oxford_select(root, 2.0)
+    assert n == 5
+    cloud_dir = os.path.join(root, "selected_keyframes_2.00m",
+                             "keyframe_point_cloud")
+    written = sorted(os.listdir(cloud_dir))
+    assert len(written) == 4 and "000002.pcd" not in written
+
+
+def test_kitti_pose_count_mismatch_raises(tmp_path):
+    """Pose/cloud count disagreement is a hard error, reference message
+    preserved (KittiPointCloudSelect.cpp:427-430)."""
+    import pytest
+
+    from pctpu.pipelines.selectors import run_kitti_select
+
+    from .fixtures import make_kitti_tree
+
+    root = str(tmp_path)
+    make_kitti_tree(root, num_frames=4)
+    times = os.path.join(root, "times.txt")
+    lines = open(times).read().strip().split("\n")
+    open(times, "w").write("\n".join(lines[:-1]) + "\n")
+    with pytest.raises(ValueError, match="do NOT agree"):
+        run_kitti_select(root, 2.0)

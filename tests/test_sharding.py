@@ -81,7 +81,8 @@ def test_run_multi_bev_mesh_outputs_byte_identical(tmp_path):
     params = SensorParams(n_scan=8, horizon_scan=64, ground_upper_scan=6,
                           height_res=0.5)
     rng = np.random.default_rng(3)
-    roots = [str(tmp_path / "single"), str(tmp_path / "meshed")]
+    roots = [str(tmp_path / "single"), str(tmp_path / "meshed"),
+             str(tmp_path / "devices")]
     for root in roots:
         cloud_dir = os.path.join(root, "keyframe_point_cloud")
         os.makedirs(cloud_dir)
@@ -98,9 +99,10 @@ def test_run_multi_bev_mesh_outputs_byte_identical(tmp_path):
             label=np.full(n, -2, np.int32),
         )
         save_cloud_pcd(os.path.join(roots[0], "keyframe_point_cloud", f"{i:06d}.pcd"), c)
-    shutil.copytree(os.path.join(roots[0], "keyframe_point_cloud"),
-                    os.path.join(roots[1], "keyframe_point_cloud"),
-                    dirs_exist_ok=True)
+    for other in roots[1:]:
+        shutil.copytree(os.path.join(roots[0], "keyframe_point_cloud"),
+                        os.path.join(other, "keyframe_point_cloud"),
+                        dirs_exist_ok=True)
     for root in roots:
         with open(os.path.join(root, "keyframe_pose.csv"), "w") as f:
             for i in range(n_clouds):
@@ -113,18 +115,23 @@ def test_run_multi_bev_mesh_outputs_byte_identical(tmp_path):
     run_multi_bev(roots[0], params, batch_size=4, write_pngs=False)
     mesh = make_mesh(n_data=4, n_points=1)
     run_multi_bev(roots[1], params, batch_size=4, write_pngs=False, mesh=mesh)
+    # the CLI-reachable convenience path: devices=N builds the mesh itself
+    # and rounds batch_size up to a mesh multiple (3 → 4)
+    run_multi_bev(roots[2], params, batch_size=3, write_pngs=False, devices=4)
 
-    for sub in ("output_multi_bev/binary", "output_single_bev/csv",
-                "non_ground_point_cloud"):
-        a = os.path.join(roots[0], sub)
-        b = os.path.join(roots[1], sub)
-        names = sorted(os.listdir(a))
-        assert names == sorted(os.listdir(b)) and len(names) == n_clouds
-        for nme in names:
-            assert filecmp.cmp(os.path.join(a, nme), os.path.join(b, nme),
-                               shallow=False), f"{sub}/{nme} differs"
-    assert filecmp.cmp(os.path.join(roots[0], "keyframe_label.csv"),
-                       os.path.join(roots[1], "keyframe_label.csv"), shallow=False)
+    for b_root in roots[1:]:
+        for sub in ("output_multi_bev/binary", "output_single_bev/csv",
+                    "non_ground_point_cloud"):
+            a = os.path.join(roots[0], sub)
+            b = os.path.join(b_root, sub)
+            names = sorted(os.listdir(a))
+            assert names == sorted(os.listdir(b)) and len(names) == n_clouds
+            for nme in names:
+                assert filecmp.cmp(os.path.join(a, nme), os.path.join(b, nme),
+                                   shallow=False), f"{sub}/{nme} differs"
+        assert filecmp.cmp(
+            os.path.join(roots[0], "keyframe_label.csv"),
+            os.path.join(b_root, "keyframe_label.csv"), shallow=False)
 
 
 def test_register_pairs_mesh_matches_unsharded():
