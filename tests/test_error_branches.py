@@ -186,3 +186,179 @@ def test_preprocess_unfused_branch_matches_ops():
     np.testing.assert_array_equal(
         np.asarray(single_img),
         np.asarray(single_bev(labeled, single_cfg)))
+
+
+def test_cli_common_flag_parse_errors(capsys):
+    from pctpu.cli._common import int_kw, path_kw
+
+    assert int_kw({"n": "4"}, "n", 1) == 4
+    with pytest.raises(SystemExit):
+        int_kw({"pair_batch": "two"}, "pair_batch", 1)
+    assert path_kw({}, "report") is None
+    assert path_kw({"report": "true"}, "report", default="/tmp/r.txt") \
+        == "/tmp/r.txt"
+    assert path_kw({"report": "x.txt"}, "report") == "x.txt"
+    with pytest.raises(SystemExit):
+        path_kw({"report": ""}, "report")
+    capsys.readouterr()
+
+
+def test_pcd_header_and_mode_errors(tmp_path):
+    from pctpu.io.pcd import (
+        FieldSpec,
+        read_pcd,
+        read_pcd_point_count,
+        write_pcd,
+    )
+
+    fx = (FieldSpec("x", np.float32, 1),)
+    with pytest.raises(ValueError, match="width\\*height"):
+        write_pcd(str(tmp_path / "bad.pcd"),
+                  {"x": np.zeros(5, np.float32)}, fields=fx, width=2, height=2)
+
+    p = tmp_path / "noheader.pcd"
+    p.write_bytes(b"VERSION 0.7\nDATA binary\n")
+    with pytest.raises(ValueError, match="no POINTS line"):
+        read_pcd_point_count(str(p))
+
+    good = tmp_path / "ok.pcd"
+    write_pcd(str(good), {"x": np.arange(3, dtype=np.float32)}, fields=fx)
+    blob = good.read_bytes().replace(b"DATA binary", b"DATA base85")
+    bad = tmp_path / "mode.pcd"
+    bad.write_bytes(blob)
+    with pytest.raises(ValueError, match="unsupported PCD DATA mode"):
+        read_pcd(str(bad))
+
+
+def test_load_cloud_pcd_plain_xyz_defaults(tmp_path):
+    from pctpu.io.pcd import FieldSpec, load_cloud_pcd, write_pcd
+
+    pts = np.arange(9, dtype=np.float32).reshape(3, 3)
+    fxyz = tuple(FieldSpec(n, np.float32, 1) for n in ("x", "y", "z"))
+    write_pcd(str(tmp_path / "xyz.pcd"),
+              {"x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2]}, fields=fxyz)
+    c = load_cloud_pcd(str(tmp_path / "xyz.pcd"), capacity=5)
+    assert int(c.count) == 3 and c.xyz.shape == (5, 3)
+    np.testing.assert_array_equal(np.asarray(c.xyz)[:3], pts)
+    assert not np.any(np.asarray(c.intensity))  # missing fields default zero
+    assert not np.any(np.asarray(c.label))
+
+
+def test_png_shape_and_format_errors():
+    from pctpu.io.png import (
+        decode_gray_png,
+        encode_gray_png,
+        encode_rgb_png,
+    )
+
+    with pytest.raises(ValueError, match="2-D image"):
+        encode_gray_png(np.zeros((2, 2, 3), np.uint8))
+    with pytest.raises(ValueError, match=r"\(H, W, 3\) uint8"):
+        encode_rgb_png(np.zeros((2, 2), np.uint8))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_gray_png(b"JFIF....definitely-not-png")
+    # color-type mismatch: gray decoder fed a truecolor PNG
+    rgb = encode_rgb_png(np.zeros((2, 2, 3), np.uint8))
+    with pytest.raises(ValueError, match="color type"):
+        decode_gray_png(rgb)
+
+
+def test_csvfmt_dtype_branches():
+    from pctpu.io.csvfmt import format_csv, format_csv_bytes
+
+    with pytest.raises(ValueError, match="2-D matrix"):
+        format_csv(np.zeros(3, np.float32))
+    with pytest.raises(TypeError, match="unsupported dtype"):
+        format_csv(np.zeros((2, 2), np.complex64))
+
+    # %d integer formatter (int16 path)
+    assert format_csv(np.array([[-3, 40000 - 65536]], np.int16)) \
+        == "-3, -25536"
+
+    # glibc %g prints sign-set NaN as "-nan"; plain NaN as "nan" — both
+    # paths (native emits the same bytes, test_native_io checks identity)
+    m = np.array([[np.nan, -np.nan, 1.5]], np.float32)
+    assert format_csv_bytes(m) == b"nan, -nan, 1.5"
+
+
+def test_ground_rejects_too_high_ground_rows():
+    from pctpu.config import GroundConfig, SensorParams
+    from pctpu.ops.ground import mark_ground
+
+    from pctpu.cloud import empty_cloud
+
+    params = SensorParams(n_scan=8, horizon_scan=16, ground_upper_scan=7,
+                          height_res=0.5)
+    with pytest.raises(ValueError, match="at least two rows above"):
+        mark_ground(empty_cloud(params.grid_size), params, GroundConfig())
+
+
+def test_fused_bev_asserts_compatible_configs():
+    from pctpu.cloud import empty_cloud
+    from pctpu.config import MultiBevConfig, SingleBevConfig
+    from pctpu.ops.bev import fused_multi_single_bev
+
+    with pytest.raises(AssertionError, match="matching multi/single"):
+        fused_multi_single_bev(
+            empty_cloud(16), 0.25, MultiBevConfig(),
+            SingleBevConfig(max_range=100.0))
+
+
+def test_nn_1_jit_wrapper_matches_nn_1():
+    from pctpu.ops.knn import nn_1, nn_1_jit
+
+    rng = np.random.default_rng(6)
+    q = rng.normal(size=(40, 3)).astype(np.float32)
+    t = rng.normal(size=(64, 3)).astype(np.float32)
+    qm = np.ones(40, bool)
+    tm = np.ones(64, bool)
+    d1, i1 = nn_1(q, qm, t, tm)
+    d2, i2 = nn_1_jit(q, qm, t, tm)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_select_major_frames_empty():
+    from pctpu.ops.select import select_major_frames
+
+    assert select_major_frames(np.zeros((0, 3), np.float32)) == []
+
+
+def test_render_unknown_view_raises():
+    from pctpu.ops.render import Layer, render_snapshot
+
+    layer = Layer(xyz=np.zeros((4, 3), np.float32), color=(255, 0, 0))
+    with pytest.raises(ValueError, match="unknown view"):
+        render_snapshot([layer], img_size=64, view="isometric")
+
+
+def test_pallas_nn_kernel_arg_validation():
+    from pctpu.ops.pallas_knn import pallas_nn_1_pruned
+
+    q = np.zeros((8, 3), np.float32)
+    t = np.zeros((8, 3), np.float32)
+    with pytest.raises(ValueError, match="kernel must be"):
+        pallas_nn_1_pruned(q, np.ones(8, bool), t, np.ones(8, bool),
+                           interpret=True, kernel="bogus")
+
+
+def test_logging_helpers_print(capsys):
+    from pctpu.utils import logging as log
+
+    log.red("failure text")
+    log.error("error text")
+    out = capsys.readouterr()
+    assert "failure text" in out.out
+    assert "error text" in out.out + out.err
+
+
+def test_reset_dir_clears_unless_resume(tmp_path):
+    from pctpu.pipelines.multi_bev import _reset_dir
+
+    d = tmp_path / "out"
+    d.mkdir()
+    (d / "stale.bin").write_bytes(b"x")
+    _reset_dir(str(d), resume=True)
+    assert (d / "stale.bin").exists()
+    _reset_dir(str(d), resume=False)
+    assert d.is_dir() and not list(d.iterdir())
