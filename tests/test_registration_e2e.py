@@ -693,3 +693,97 @@ def test_whole_registration_cli_main(tmp_path):
 
     with _pytest.raises(SystemExit):
         main([])  # usage
+
+
+def test_register_pairs_coarse_only_and_shard_guards():
+    """register_pairs with use_refinement=False yields (best, None) per
+    pair; the mesh path rejects pair counts that don't divide the data
+    axis; register_pair's point_mesh rejects indivisible capacities."""
+    import jax
+
+    from pctpu.cloud import make_cloud
+    from pctpu.config import RegistrationConfig
+    from pctpu.pipelines.registration import register_pair, register_pairs
+
+    rng = np.random.default_rng(9)
+    xyz, labels = synth_scene(rng)
+    c1 = make_cloud(xyz, label=labels.astype(np.int32), capacity=4096)
+    xyz2 = rigid(xyz, 8.0, [0.5, 0.0, 0.0]).astype(np.float32)
+    c2 = make_cloud(xyz2, label=labels.astype(np.int32), capacity=4096)
+
+    results = register_pairs(
+        [(c1, c2, 8.0), (c2, c1, -8.0)],
+        cfg=RegistrationConfig(use_refinement=False), flat_cap=4096)
+    assert len(results) == 2
+    for best, fine in results:
+        assert fine is None
+        assert np.isfinite(float(best.fitness))
+
+    if len(jax.devices()) >= 4:
+        from pctpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=4, n_points=1)
+        with pytest.raises(ValueError, match="multiple of the mesh data axis"):
+            register_pairs([(c1, c2, 8.0)] * 3, flat_cap=4096, mesh=mesh)
+
+        pmesh = make_mesh(n_data=1, n_points=3)  # 4096 % 3 != 0
+        with pytest.raises(ValueError, match="multiple of the 'points' axis"):
+            register_pair(c1, c2, 8.0, flat_cap=4096, point_mesh=pmesh)
+
+
+def test_register_pair_sequential_coarse_only():
+    """The unbatched register_pair honors use_refinement=False too
+    (/root/reference/BatchTopPartRegistration.cpp USE_REFINEMENT=false
+    ablation: coarse transform is the result, no fine stage)."""
+    from pctpu.cloud import make_cloud
+    from pctpu.config import RegistrationConfig
+    from pctpu.pipelines.registration import register_pair
+
+    rng = np.random.default_rng(10)
+    xyz, labels = synth_scene(rng)
+    c1 = make_cloud(xyz, label=labels.astype(np.int32), capacity=4096)
+    xyz2 = rigid(xyz, 5.0, [0.3, 0.1, 0.0]).astype(np.float32)
+    c2 = make_cloud(xyz2, label=labels.astype(np.int32), capacity=4096)
+
+    best, fine = register_pair(
+        c1, c2, 5.0, cfg=RegistrationConfig(use_refinement=False),
+        flat_cap=4096)
+    assert fine is None
+    assert best.transform.shape == (4, 4)
+
+
+def test_prepare_driver_rounds_pair_batch_to_devices(tmp_path):
+    """pair_batch is rounded up to a multiple of --devices so every chunk
+    shards evenly (pipelines/registration.py driver preamble)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >1 device")
+
+    from pctpu.io.pcd import write_pcd
+    from pctpu.pipelines.registration import run_batch_whole_registration
+
+    rng = np.random.default_rng(12)
+    xyz, labels = synth_scene(rng)
+    xyz2 = rigid(xyz, 4.0, [0.2, 0.2, 0.0]).astype(np.float32)
+    cloud_dir = tmp_path / "clouds"
+    os.makedirs(cloud_dir)
+    for idx, pts in ((0, xyz), (1, xyz2)):
+        n = len(pts)
+        write_pcd(
+            str(cloud_dir / f"{idx:06d}.pcd"),
+            {
+                "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+                "intensity": np.ones(n, np.float32),
+                "row": np.zeros(n, np.uint16), "col": np.zeros(n, np.uint16),
+                "t": np.zeros(n, np.uint32), "label": labels.astype(np.int16),
+            },
+        )
+    match_file = tmp_path / "match_result.txt"
+    match_file.write_text("0 1 4.0\n1 0 -4.0\n0 1 4.0\n")
+
+    # pair_batch=3 with devices=2 → rounded to 4; padded tail still correct
+    counts = run_batch_whole_registration(
+        str(match_file), str(cloud_dir),
+        report_path=str(tmp_path / "r.txt"), pair_batch=3, devices=2)
+    assert sum(counts) == 3

@@ -99,3 +99,34 @@ def test_pair_precision_reference_arithmetic():
     assert abs(diff_yaw - (-0.25)) < 1e-4
     # identical transforms -> exactly zero
     assert _pair_precision(t_fine, t_fine) == (0.0, 0.0)
+
+
+def test_pair_precision_yaw_boundary_is_exact_180():
+    """The ±180° boundary: f32(atan2) tops out at f32(π) = π + 8.7e-8, so
+    angles(2)/M_PI*180.0 peaks at 180.0000050 in double — and the f32
+    *assignment* rounds that back to exactly ±180.0 (f32 ulp at 180 is
+    1.5e-5).  The ±360° wrap guard (BatchTopPartRegistration.cpp:523-525)
+    is therefore defensively dead in both stacks; what matters for report
+    parity is that the boundary prints as exactly 180, never wrapped."""
+    eps = np.float32(1e-9)
+    t_fine = np.eye(4, dtype=np.float32)
+
+    def coarse(sin_val):
+        t = np.eye(4, dtype=np.float32)
+        t[0, 0] = -1.0
+        t[1, 1] = -1.0
+        t[1, 0] = sin_val
+        t[0, 1] = -sin_val
+        return t
+
+    assert _pair_precision(coarse(+eps), t_fine)[1] == 180.0
+    assert _pair_precision(coarse(-eps), t_fine)[1] == -180.0
+
+
+def test_warn_flat_cap_prints_only_on_truncation(capsys):
+    from pctpu.pipelines.registration import _warn_flat_cap
+
+    _warn_flat_cap(100, 128)
+    assert "WARNING" not in capsys.readouterr().out
+    _warn_flat_cap(200, 128)
+    assert "truncated" in capsys.readouterr().out
