@@ -281,3 +281,7 @@ def test_batch_cloud_manip_pipeline_e2e(tmp_path, monkeypatch):
     bcm.run_batch_cloud_manip(str(root), batch_size=2, resume=True)
     assert (root / "non_ground_point_cloud" / "000002.pcd").exists()
     assert csv0.stat().st_mtime_ns == mtime0
+
+    # without resume the existing output dirs are cleared and rebuilt
+    bcm.run_batch_cloud_manip(str(root), batch_size=2)
+    assert csv0.stat().st_mtime_ns > mtime0

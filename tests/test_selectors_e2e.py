@@ -141,6 +141,12 @@ def test_selector_resume_skips_existing_pcds(tmp_path):
     assert os.path.getmtime(marker) == before  # untouched on resume
     assert open(os.path.join(out, "keyframe_pose.csv")).read() == pose_csv_before
 
+    # WITHOUT resume an existing output tree is cleared and rebuilt
+    # (the reference shells out rm -rf)
+    n3 = run_kitti_select(kitti_tree, interval=2.0)
+    assert n3 == n
+    assert os.path.getmtime(marker) > before
+
 
 def test_oxford_euler_convention_negative_yaw(tmp_path):
     """Oxford's LOCAL Pose6f::interpolate derives euler via Eigen
