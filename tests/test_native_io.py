@@ -36,6 +36,45 @@ def test_native_lib_builds():
     assert native_available()
 
 
+def test_native_lib_compile_and_rebuild(tmp_path, monkeypatch):
+    """The on-demand g++ build branch (native_io.py::_load): an absent .so
+    is compiled from source via atomic temp+rename, a stale .so (older than
+    the source) is rebuilt, and a broken source degrades to None so every
+    caller falls back to the pure-Python writers."""
+    import glob
+    import os
+
+    import pctpu.runtime.native_io as nio
+
+    lib_path = str(tmp_path / "libpctpu_io.so")
+    monkeypatch.setattr(nio, "_LIB", lib_path)
+    monkeypatch.setattr(nio, "_lib", None)
+    monkeypatch.setattr(nio, "_tried", False)
+    assert nio.native_available()  # compiled from source on demand
+    assert os.path.exists(lib_path)
+    assert not glob.glob(lib_path + ".build.*")  # temp renamed away
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    nio.write_png(str(tmp_path / "fresh.png"), img)
+    assert np.array_equal(read_gray_png(str(tmp_path / "fresh.png")), img)
+
+    # stale .so (older than the source) is rebuilt
+    src_mtime = os.path.getmtime(nio._SRC)
+    os.utime(lib_path, (src_mtime - 10, src_mtime - 10))
+    monkeypatch.setattr(nio, "_lib", None)
+    monkeypatch.setattr(nio, "_tried", False)
+    assert nio.native_available()
+    assert os.path.getmtime(lib_path) >= src_mtime
+
+    # broken source: build fails quietly, native_available() -> False
+    bad_src = tmp_path / "bad.cpp"
+    bad_src.write_text("this is not C++")
+    monkeypatch.setattr(nio, "_SRC", str(bad_src))
+    monkeypatch.setattr(nio, "_LIB", str(tmp_path / "bad.so"))
+    monkeypatch.setattr(nio, "_lib", None)
+    monkeypatch.setattr(nio, "_tried", False)
+    assert not nio.native_available()
+
+
 def test_native_lzf_matches_python():
     """Native liblzf decoder == the pure-Python fallback, incl. backrefs."""
     import pctpu.runtime.native_io as nio

@@ -52,6 +52,45 @@ def test_batched_prefetch_propagates_loader_errors():
         list(batched_prefetch([1, 2, 3], 1, load))
 
 
+def test_batched_prefetch_slow_consumer_hits_queue_full():
+    """With prefetch=1 and a stalled consumer the producer's bounded put
+    loops on queue.Full; every batch must still arrive, in order."""
+    seen = []
+    gen = batched_prefetch(list(range(6)), 1, lambda x: x * 10, prefetch=1)
+    first = next(gen)
+    time.sleep(0.6)  # producer fills the 1-slot queue and spins on Full
+    seen.append(first)
+    seen.extend(gen)
+    assert [n for names, _ in seen for n in names] == list(range(6))
+    assert [p for _, payloads in seen for p in payloads] == \
+        [10 * i for i in range(6)]
+
+
+def test_batched_prefetch_early_exit_unblocks_producer(monkeypatch):
+    """A consumer that stops mid-stream must not leave the producer thread
+    blocked in q.put holding padded batches (loader.py _put stop-flag)."""
+    import threading
+
+    created = []
+    orig = threading.Thread
+
+    def capture(*args, **kwargs):
+        t = orig(*args, **kwargs)
+        created.append(t)
+        return t
+
+    monkeypatch.setattr(threading, "Thread", capture)
+    gen = batched_prefetch(list(range(16)), 1, lambda x: x, prefetch=1)
+    next(gen)
+    time.sleep(0.5)  # producer is now blocked on the full queue
+    t0 = time.monotonic()
+    gen.close()  # finally: stop.set() + join
+    assert time.monotonic() - t0 < 5.0
+    (thread,) = created
+    thread.join(timeout=5)
+    assert not thread.is_alive()
+
+
 def test_list_pcd_files_sorted(tmp_path):
     for name in ("b.pcd", "a.pcd", "c.txt", "noext"):
         (tmp_path / name).write_bytes(b"")
