@@ -22,6 +22,30 @@ def test_process_shard_strided_partition():
     assert process_shard(items, 0, 1) == items
 
 
+def test_initialize_forwards_to_jax_distributed(monkeypatch):
+    """pctpu.parallel.distributed.initialize: single-process is a no-op;
+    multi-process forwards the coordinator/process args verbatim to
+    jax.distributed.initialize (real multi-host hardware unavailable here,
+    so the seam is pinned with a recording stub)."""
+    import jax
+
+    from pctpu.parallel.distributed import initialize
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda **kwargs: calls.append(kwargs),
+    )
+    initialize(num_processes=1, process_id=0)  # single process: no-op
+    assert calls == []
+    initialize("10.0.0.1:1234", num_processes=2, process_id=1)
+    assert calls == [dict(coordinator_address="10.0.0.1:1234",
+                          num_processes=2, process_id=1)]
+    initialize()  # cluster-env mode: all args None, still forwarded
+    assert calls[-1] == dict(coordinator_address=None,
+                             num_processes=None, process_id=None)
+
+
 def _make_tree(root, params, n_clouds, rng):
     from pctpu.cloud import make_cloud
     from pctpu.io.pcd import save_cloud_pcd
