@@ -23,7 +23,14 @@ def test_parity_harness_skips_gracefully_without_pcl():
 
 def test_batch_cloud_manip_cli_runs(tmp_path):
     """The harness drives batch_cloud_manip via argv — the CLI must actually
-    run (a missing int_kw import made every real invocation NameError)."""
+    run (a missing int_kw import made every real invocation NameError).
+
+    The pipeline leg runs main() in-process: a fresh ``python -m`` subprocess
+    cannot share the suite's jit cache (1-device topology vs the suite's 8
+    virtual devices) and pays a >20-minute cold XLA CPU compile of the
+    133k-capacity kernel on this 1-core box.  The subprocess entry itself is
+    still exercised below via the jit-free usage path."""
+    from pctpu.cli.batch_cloud_manip import main
     from pctpu.cloud import make_cloud
     from pctpu.io.pcd import save_cloud_pcd
 
@@ -41,11 +48,15 @@ def test_batch_cloud_manip_cli_runs(tmp_path):
         label=np.full(n, -2, np.int32),
     )
     save_cloud_pcd(str(root / "keyframe_point_cloud" / "000000.pcd"), c)
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    r = subprocess.run(
-        [sys.executable, "-m", "pctpu.cli.batch_cloud_manip", str(root),
-         "--batch-size=2"],
-        capture_output=True, text=True, cwd=REPO, env=env, timeout=600,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
+    assert main([str(root), "--batch-size=2"]) == 0
     assert (root / "output_bvm").is_dir()
+
+    # the python -m entry point: missing argv exits 1 with the usage line
+    # before any jit work, so the subprocess leg stays cheap
+    r = subprocess.run(
+        [sys.executable, "-m", "pctpu.cli.batch_cloud_manip"],
+        capture_output=True, text=True, cwd=REPO,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"), timeout=300,
+    )
+    assert r.returncode == 1
+    assert "Usage: batch_cloud_manip" in r.stdout
