@@ -46,6 +46,21 @@ def test_initialize_forwards_to_jax_distributed(monkeypatch):
                              num_processes=None, process_id=None)
 
 
+def test_mesh_defaults_span_all_devices():
+    """make_mesh with no n_data splits all devices across (data, points);
+    global_mesh is the multi-host-spanning alias."""
+    import jax
+
+    from pctpu.parallel.distributed import global_mesh
+    from pctpu.parallel.mesh import make_mesh
+
+    n = len(jax.devices())  # 8 virtual CPU devices under conftest
+    m = make_mesh(n_points=2)
+    assert dict(m.shape) == {"data": n // 2, "points": 2}
+    m1 = global_mesh()
+    assert dict(m1.shape) == {"data": n, "points": 1}
+
+
 def _make_tree(root, params, n_clouds, rng):
     from pctpu.cloud import make_cloud
     from pctpu.io.pcd import save_cloud_pcd

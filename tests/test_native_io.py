@@ -141,3 +141,18 @@ def test_python_fallbacks_match_native(tmp_path, monkeypatch):
             == (tmp_path / "native_img" / f"{layer:02d}.png").read_bytes()
     assert format_csv(mat) == native_csv
     assert format_csv(row) == native_row
+
+
+def test_format_csv_f32_cap_guard(monkeypatch):
+    """A native formatter reporting overflow (n < 0) yields None so the
+    caller falls back to the byte-identical Python path."""
+    import pctpu.runtime.native_io as nio
+
+    class _Stub:
+        @staticmethod
+        def pctpu_format_csv_f32(*args):
+            return -1
+
+    monkeypatch.setattr(nio, "_lib", _Stub())
+    monkeypatch.setattr(nio, "_tried", True)
+    assert nio.format_csv_f32(np.ones((2, 2), np.float32), 4) is None

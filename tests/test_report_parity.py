@@ -130,3 +130,30 @@ def test_warn_flat_cap_prints_only_on_truncation(capsys):
     assert "WARNING" not in capsys.readouterr().out
     _warn_flat_cap(200, 128)
     assert "truncated" in capsys.readouterr().out
+
+
+def test_rotmat_to_euler_f32_singular_branch():
+    """Gimbal-lock extraction (sy < 1e-6): yaw forced to 0, pitch ±90°
+    (/root/reference/BatchTopPartRegistration.cpp:290-309 else-branch)."""
+    from pctpu.pipelines.registration import _rotmat_to_euler_f32
+
+    # pitch = -90°: r[0,0] = r[1,0] = 0 → sy = 0
+    r = np.array([[0.0, 0.0, 1.0],
+                  [0.0, 1.0, 0.0],
+                  [-1.0, 0.0, 0.0]], np.float32)
+    e = _rotmat_to_euler_f32(r)
+    assert e.dtype == np.float32
+    assert e[2] == 0.0
+    assert e[1] == np.float32(math.pi / 2)
+    # non-singular sanity alongside: plain yaw keeps the arctan branch
+    ry = yaw_rotation_4x4(math.radians(40.0)).astype(np.float32)[:3, :3]
+    assert abs(_rotmat_to_euler_f32(ry)[2] - math.radians(40.0)) < 1e-6
+
+
+def test_pow2_bucket_growth_and_cap():
+    from pctpu.pipelines.registration import _BUCKET_FLOOR, _pow2_bucket
+
+    assert _pow2_bucket(1, 1 << 20) == _BUCKET_FLOOR
+    assert _pow2_bucket(_BUCKET_FLOOR + 1, 1 << 20) == _BUCKET_FLOOR * 2
+    assert _pow2_bucket(5000, 1 << 20) == 8192
+    assert _pow2_bucket(5000, 4096) == 4096  # capacity cap wins

@@ -120,6 +120,24 @@ def test_mulran_to_multibev_integration(tmp_path):
     assert occupied_layer0 < n_ground / 4  # most ground points filtered out
 
 
+def test_kitti_select_large_interval_keeps_first_only(tmp_path):
+    """Frames inside the distance gate are skipped (the per-cloud continue
+    branch), not written."""
+    from pctpu.pipelines.selectors import run_kitti_select
+
+    from .fixtures import make_kitti_tree
+
+    root = str(tmp_path / "kitti")
+    make_kitti_tree(root, num_frames=5, spacing=3.0)
+    n = run_kitti_select(root, interval=100.0)
+    assert n == 1
+    out = os.path.join(root, "selected_keyframes_100.00m")
+    assert sorted(os.listdir(os.path.join(out, "keyframe_point_cloud"))) == \
+        ["000000.pcd"]
+    assert len(read_keyframe_poses(
+        os.path.join(out, "keyframe_pose.csv"))) == 1
+
+
 def test_selector_resume_skips_existing_pcds(tmp_path):
     """--resume: keyframe PCDs already on disk are not re-extracted, but the
     pose CSV is fully rewritten (identical outputs, idempotent)."""
