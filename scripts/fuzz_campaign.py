@@ -1,0 +1,192 @@
+"""Long-running differential fuzz campaign: fresh-seed sweeps of the fused
+preprocess (ordering → ground marking → multi/single BEV) against the
+plain-loop oracle (tests/ref_impl.py), plus the registration prep ops.
+
+This is the out-of-suite big brother of tests/test_fuzz_differential.py: the
+suite pins a fixed seed set for CI determinism; this script walks fresh seed
+ranges for hours to hunt bit-parity knife edges the fixed set misses
+(rounds 2-3 each ran ~1000-seed campaigns this way; divergences found become
+pinned regression seeds in the suite).
+
+Checks per case:
+  * bit-exact mode labels / multi BEV / single BEV == oracle (hard failure);
+  * tolerance mode vs bit-exact mode (reported: label flips are allowed by
+    the BASELINE.json:5 acceptance window but we record every occurrence and
+    the resulting BEV pixel delta so the "pixel-identical so far" claim in
+    docs/PERFORMANCE.md stays measured, not assumed).
+
+Usage:  python -m scripts.fuzz_campaign --start 20000 --cases 500 [--sensors]
+Exit status: 1 on any bit-exact divergence, else 0.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")  # repo root (tests/ is a package there)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--start", type=int, default=20000,
+                    help="first seed (use fresh ranges per campaign)")
+    ap.add_argument("--cases", type=int, default=500,
+                    help="cases per regime")
+    ap.add_argument("--sensors", action="store_true",
+                    help="also run full-grid sensor-preset cases (slow oracle)")
+    ap.add_argument("--prep-every", type=int, default=4,
+                    help="run voxel/topflatten oracles every Nth case")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from pctpu.ops.bev import fused_multi_single_bev
+    from pctpu.ops.ground import mark_ground
+    from pctpu.ops.ordering import get_ordered_cloud
+    from pctpu.ops.topflatten import extract_top_and_flatten
+    from pctpu.ops.voxel import voxel_downsample
+
+    from tests import ref_impl
+    from tests.test_fuzz_differential import REGIMES, _regime_points
+    from tests.test_ops_preprocess import SMALL, ordered_ref_arrays, to_cloud
+
+    t0 = time.time()
+    failures = 0
+    tol_label_flips = 0
+    tol_bev_px = 0
+    n_done = 0
+
+    for case in range(args.cases):
+        for regime, (n, neg1, z_lo, z_hi, r_lo, r_hi) in enumerate(REGIMES):
+            seed = args.start + 100_000 * regime + case
+            rng = np.random.default_rng(seed)
+            pts = _regime_points(rng, n, neg1, z_lo, z_hi, r_lo, r_hi, SMALL)
+
+            ref_cloud, _ = ordered_ref_arrays(pts, SMALL)
+            ref_impl.mark_ground_ref(
+                ref_cloud, SMALL.n_scan, SMALL.horizon_scan,
+                SMALL.ground_upper_scan,
+            )
+            ref_labels = np.array([p["label"] for p in ref_cloud], np.int32)
+            ref_multi = ref_impl.multi_bev_ref(ref_cloud, SMALL.height_res)
+            ref_single = ref_impl.single_bev_ref(ref_cloud)
+
+            ordered = get_ordered_cloud(to_cloud(pts), SMALL)
+            labeled, _ = mark_ground(ordered, SMALL)
+            fm, fs = fused_multi_single_bev(labeled, SMALL.height_res)
+
+            ok = (
+                np.array_equal(np.asarray(labeled.label), ref_labels)
+                and np.array_equal(np.asarray(fm), ref_multi)
+                and np.array_equal(np.asarray(fs), ref_single)
+            )
+            if not ok:
+                failures += 1
+                print(f"FAIL bitexact regime={regime} seed={seed}", flush=True)
+
+            # tolerance mode vs bit-exact mode
+            lab_t, _ = mark_ground(ordered, SMALL, compat="tolerance")
+            fm_t, fs_t = fused_multi_single_bev(lab_t, SMALL.height_res)
+            flips = int(np.sum(np.asarray(lab_t.label) != np.asarray(labeled.label)))
+            if flips:
+                tol_label_flips += flips
+                dpx = int(np.sum(np.asarray(fm_t) != np.asarray(fm))) + int(
+                    np.sum(np.asarray(fs_t) != np.asarray(fs))
+                )
+                tol_bev_px += dpx
+                print(
+                    f"TOL-DIVERGE regime={regime} seed={seed} "
+                    f"label_flips={flips} bev_px={dpx}",
+                    flush=True,
+                )
+
+            if case % args.prep_every == 0:
+                prng = np.random.default_rng(seed ^ 0x5EED)
+                p3 = prng.uniform(-60, 60, (400, 3)).astype(np.float32)
+                p3[:, 2] = prng.uniform(-2, 10, 400).astype(np.float32)
+                ref_v = ref_impl.voxel_ref(p3, 0.2)
+                out, valid, count = voxel_downsample(p3, np.ones(400, bool), 0.2)
+                if int(count) != len(ref_v) or not np.allclose(
+                    np.asarray(out)[: int(count)], ref_v, atol=1e-5
+                ):
+                    failures += 1
+                    print(f"FAIL voxel seed={seed}", flush=True)
+                from tests.test_ops_registration import (
+                    scene_cloud,
+                    to_cloud as reg_to_cloud,
+                )
+
+                scene = scene_cloud(prng)
+                ref_f = np.asarray(
+                    ref_impl.top_flatten_ref(scene), np.float32
+                ).reshape(-1, 3)
+                xyz, mask, cnt = extract_top_and_flatten(
+                    reg_to_cloud(scene, capacity=1024)
+                )
+                got = np.asarray(xyz)[np.asarray(mask)]
+
+                def lexsorted(a):
+                    return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
+
+                if int(cnt) != len(ref_f) or not np.array_equal(
+                    lexsorted(got), lexsorted(ref_f)
+                ):
+                    failures += 1
+                    print(f"FAIL topflatten seed={seed}", flush=True)
+
+            n_done += 1
+
+        if case % 10 == 9:
+            rate = n_done / (time.time() - t0)
+            print(
+                f"[{time.time() - t0:7.0f}s] {n_done} cases "
+                f"({rate:.1f}/s) failures={failures} "
+                f"tol_flips={tol_label_flips} tol_bev_px={tol_bev_px}",
+                flush=True,
+            )
+
+    if args.sensors:
+        from pctpu.config import get_sensor_params
+
+        for i, sensor in enumerate(("HDL_32E", "HDL_64E", "OS1_64")):
+            params = get_sensor_params(sensor)
+            rng = np.random.default_rng(args.start + 900_000 + i)
+            pts = _regime_points(rng, 600, 0.15, -2.5, 4.0, 2.0, 90.0, params)
+            ref_cloud, _ = ordered_ref_arrays(pts, params)
+            ref_impl.mark_ground_ref(
+                ref_cloud, params.n_scan, params.horizon_scan,
+                params.ground_upper_scan,
+            )
+            ordered = get_ordered_cloud(to_cloud(pts), params)
+            labeled, _ = mark_ground(ordered, params)
+            ref_labels = np.array([p["label"] for p in ref_cloud], np.int32)
+            if not np.array_equal(np.asarray(labeled.label), ref_labels):
+                failures += 1
+                print(f"FAIL sensor={sensor}", flush=True)
+            fm, fs = fused_multi_single_bev(labeled, params.height_res)
+            if not np.array_equal(
+                np.asarray(fm), ref_impl.multi_bev_ref(ref_cloud, params.height_res)
+            ) or not np.array_equal(
+                np.asarray(fs), ref_impl.single_bev_ref(ref_cloud)
+            ):
+                failures += 1
+                print(f"FAIL sensor BEV={sensor}", flush=True)
+            print(f"sensor {sensor} ok", flush=True)
+
+    print(
+        f"DONE: {n_done} cases in {time.time() - t0:.0f}s, "
+        f"failures={failures}, tolerance label flips={tol_label_flips} "
+        f"(bev px delta {tol_bev_px})",
+        flush=True,
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
