@@ -40,6 +40,9 @@ def main() -> int:
                     help="also run full-grid sensor-preset cases (slow oracle)")
     ap.add_argument("--prep-every", type=int, default=4,
                     help="run voxel/topflatten oracles every Nth case")
+    ap.add_argument("--icp", type=int, default=0,
+                    help="also run N per-iteration ICP differential cases "
+                         "per estimation mode (filtered knife-edge sweep)")
     args = ap.parse_args()
 
     import jax
@@ -179,6 +182,9 @@ def main() -> int:
                 print(f"FAIL sensor BEV={sensor}", flush=True)
             print(f"sensor {sensor} ok", flush=True)
 
+    if args.icp:
+        failures += run_icp_sweep(args.start, args.icp)
+
     print(
         f"DONE: {n_done} cases in {time.time() - t0:.0f}s, "
         f"failures={failures}, tolerance label flips={tol_label_flips} "
@@ -186,6 +192,92 @@ def main() -> int:
         flush=True,
     )
     return 1 if failures else 0
+
+
+def run_icp_sweep(start: int, target_asserted: int) -> int:
+    """Fresh-seed per-iteration ICP differential sweep, both estimation modes.
+
+    Reuses the suite's knife-edge filter (tests/test_icp_differential.py): a
+    seed only asserts when the f64 oracle's exit iteration and convergence
+    flag are stable under a 1e-6 perturbation AND no MSE plateau makes the
+    1e-12 absolute exit an f32-vs-f64 coin flip.  Walks seeds until
+    ``target_asserted`` cases asserted per mode (or 5× that many were
+    examined).  Returns the number of divergences.
+    """
+    import numpy as np
+
+    from pctpu.config import IcpConfig
+
+    from tests import ref_impl
+    from tests.test_icp_differential import (
+        _plane_scene,
+        assert_traces_match,
+        run_both,
+        scene,
+    )
+
+    failures = 0
+    for mode in ("point", "plane"):
+        asserted = examined = 0
+        seed = start
+        while asserted < target_asserted and examined < 5 * target_asserted:
+            seed += 1
+            examined += 1
+            guess = np.eye(4, dtype=np.float32)
+            if mode == "point":
+                yaw = 2.0 + (seed % 11) * 1.7
+                shift = (0.2 + 0.04 * (seed % 6), -0.25 + 0.09 * (seed % 4),
+                         0.05 * (seed % 3))
+                src, tgt = scene(seed, yaw_deg=yaw, shift=shift)
+                cfg = IcpConfig(max_correspondence_distance=4.0,
+                                max_iterations=8)
+                nrm = ok = None
+            else:
+                yaw = 1.5 + (seed % 7) * 1.3
+                shift = (0.1 + 0.05 * (seed % 5), -0.15 + 0.07 * (seed % 4), 0.0)
+                src, tgt, nrm, ok = _plane_scene(seed, yaw, shift)
+                cfg = IcpConfig(max_correspondence_distance=10.0,
+                                max_iterations=4, point_to_plane=True)
+
+            def oracle(s):
+                return ref_impl.icp_ref(
+                    s, tgt, guess, cfg.max_correspondence_distance,
+                    cfg.max_iterations, cfg.transformation_epsilon,
+                    cfg.euclidean_fitness_epsilon, tgt_normals=nrm,
+                    normal_ok=ok,
+                )
+
+            ref_a = oracle(src)
+            ref_b = oracle(src + np.float32(1e-6))
+            if (len(ref_a["trace"]) != len(ref_b["trace"])
+                    or ref_a["converged"] != ref_b["converged"]):
+                continue
+            mses = [m for _, m, _ in ref_a["trace"] if np.isfinite(m)]
+            if any(abs(b - a) < 1e-7 * max(b, 1e-9)
+                   for a, b in zip(mses, mses[1:])):
+                continue
+
+            try:
+                res, trace, ref = run_both(src, tgt, guess, cfg,
+                                           tgt_normals=nrm, normal_ok=ok)
+                atol = 1e-3 if mode == "point" else 3e-3
+                assert_traces_match(trace, ref, atol_t=atol, rtol_mse=atol)
+                assert bool(res.converged) == ref["converged"]
+                if mode == "point":
+                    np.testing.assert_allclose(
+                        float(res.fitness), ref["fitness"], rtol=2e-3,
+                        atol=1e-7,
+                    )
+            except AssertionError as e:
+                failures += 1
+                print(f"FAIL icp mode={mode} seed={seed}: {e}", flush=True)
+            asserted += 1
+        print(
+            f"icp {mode}: asserted {asserted}/{examined} examined "
+            f"(seeds {start + 1}..{seed})",
+            flush=True,
+        )
+    return failures
 
 
 if __name__ == "__main__":
