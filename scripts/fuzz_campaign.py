@@ -43,6 +43,9 @@ def main() -> int:
     ap.add_argument("--icp", type=int, default=0,
                     help="also run N per-iteration ICP differential cases "
                          "per estimation mode (filtered knife-edge sweep)")
+    ap.add_argument("--normals", type=int, default=0,
+                    help="also run N normals2d cases per search mode "
+                         "(radius + setKSearch vs the PCL loop oracles)")
     args = ap.parse_args()
 
     import jax
@@ -184,6 +187,8 @@ def main() -> int:
 
     if args.icp:
         failures += run_icp_sweep(args.start, args.icp)
+    if args.normals:
+        failures += run_normals_sweep(args.start, args.normals)
 
     print(
         f"DONE: {n_done} cases in {time.time() - t0:.0f}s, "
@@ -192,6 +197,67 @@ def main() -> int:
         flush=True,
     )
     return 1 if failures else 0
+
+
+def run_normals_sweep(start: int, n_cases: int) -> int:
+    """Fresh-seed normals2d differential sweep, radius and setKSearch modes.
+
+    Scene: anisotropic cluster + noisy line (the L2-suite shape) with varied
+    density and scale per seed.  Validity masks must match the oracle exactly;
+    normals match up to the eigen-solver sign within 5e-3 (the suite's
+    tolerance — exact-perpendicular viewpoint ties are sign-ambiguous in PCL
+    too).  Returns the number of divergences.
+    """
+    import numpy as np
+
+    from pctpu.ops.normals2d import normals_2d, normals_2d_knn
+
+    from tests import ref_impl
+
+    failures = 0
+    radii = (1.0, 2.0, 4.0)
+    ks = (2, 5, 9, 30)
+    for case in range(n_cases):
+        seed = start + case
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(20, 200))
+        a = rng.normal(0, [rng.uniform(0.5, 4.0), rng.uniform(0.1, 1.0)],
+                       (n // 2, 2))
+        t = rng.uniform(-5, 5, n - n // 2)
+        b = np.stack([t, rng.uniform(-1, 1) * t + rng.normal(0, 0.1, len(t))], 1)
+        p2 = np.concatenate([a, b]).astype(np.float32)
+        xyz = np.concatenate([p2, np.zeros((n, 1), np.float32)], axis=1)
+        mask = np.ones(n, bool)
+
+        def check(name, nrm, ok, ref_n, ref_ok):
+            nonlocal failures
+            if not np.array_equal(np.asarray(ok), ref_ok):
+                failures += 1
+                print(f"FAIL normals {name} seed={seed}: validity mask",
+                      flush=True)
+                return
+            ours = np.asarray(nrm)[:, :2]
+            for i in np.flatnonzero(ref_ok):
+                d = min(np.linalg.norm(ours[i] - ref_n[i]),
+                        np.linalg.norm(ours[i] + ref_n[i]))
+                if d >= 5e-3:
+                    failures += 1
+                    print(f"FAIL normals {name} seed={seed} i={i} d={d}",
+                          flush=True)
+                    break
+
+        r = radii[case % len(radii)]
+        nrm, _, ok = normals_2d(xyz, mask, radius=r)
+        ref_n, ref_ok = ref_impl.normals2d_ref(xyz, radius=r)
+        check(f"radius={r}", nrm, ok, ref_n, ref_ok)
+
+        k = ks[case % len(ks)]
+        nrm, _, ok = normals_2d_knn(xyz, mask, k)
+        ref_n, ref_ok = ref_impl.normals2d_knn_ref(xyz, k)
+        check(f"k={k}", nrm, ok, ref_n, ref_ok)
+    print(f"normals2d: {n_cases} cases per mode, failures={failures}",
+          flush=True)
+    return failures
 
 
 def run_icp_sweep(start: int, target_asserted: int) -> int:
