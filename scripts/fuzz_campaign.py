@@ -46,6 +46,8 @@ def main() -> int:
     ap.add_argument("--normals", type=int, default=0,
                     help="also run N normals2d cases per search mode "
                          "(radius + setKSearch vs the PCL loop oracles)")
+    ap.add_argument("--misc", type=int, default=0,
+                    help="also run N float-BEV + PCA2D oracle cases")
     args = ap.parse_args()
 
     import jax
@@ -189,6 +191,8 @@ def main() -> int:
         failures += run_icp_sweep(args.start, args.icp)
     if args.normals:
         failures += run_normals_sweep(args.start, args.normals)
+    if args.misc:
+        failures += run_misc_sweep(args.start, args.misc)
 
     print(
         f"DONE: {n_done} cases in {time.time() - t0:.0f}s, "
@@ -197,6 +201,70 @@ def main() -> int:
         flush=True,
     )
     return 1 if failures else 0
+
+
+def run_misc_sweep(start: int, n_cases: int) -> int:
+    """float-BEV (both CloudManip/BatchCloudManip ground-filter variants) and
+    PCA2D fit (with/without indices) against their loop oracles."""
+    import numpy as np
+
+    from pctpu.cloud import make_cloud
+    from pctpu.config import FloatBevConfig
+    from pctpu.ops.bev import float_bev
+    from pctpu.ops.pca2d import PCA2D
+
+    from tests import ref_impl
+
+    failures = 0
+    for case in range(n_cases):
+        seed = start + case
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(30, 500))
+        pts = [
+            {"x": float(np.float32(rng.uniform(-110, 110))),
+             "y": float(np.float32(rng.uniform(-110, 110))),
+             "z": float(np.float32(rng.uniform(-2.5, 6.0))),
+             "intensity": 0.5, "row": 0, "col": 0, "t": 0,
+             "label": 0 if rng.random() < 0.3 else -2}
+            for _ in range(n)
+        ]
+        cloud = make_cloud(
+            np.array([[p["x"], p["y"], p["z"]] for p in pts], np.float32),
+            label=np.array([p["label"] for p in pts], np.int32),
+        )
+        for filt in (False, True):
+            ref = ref_impl.float_bev_ref(pts, filter_ground=filt)
+            got = np.asarray(float_bev(cloud, FloatBevConfig(filter_ground=filt)))
+            if not np.array_equal(got, ref.astype(np.float32)):
+                failures += 1
+                print(f"FAIL float_bev filt={filt} seed={seed}", flush=True)
+
+        p2 = rng.normal(0, [rng.uniform(0.5, 4.0), rng.uniform(0.1, 2.0)],
+                        (max(n, 4), 2)).astype(np.float32)
+        xyz = np.concatenate([p2, np.zeros((len(p2), 1), np.float32)], axis=1)
+        indices = (np.sort(rng.choice(len(p2), max(3, len(p2) // 2),
+                                      replace=False))
+                   if case % 2 else None)
+        ref_mean, ref_w, ref_v = ref_impl.pca2d_ref(xyz, indices)
+        pca = PCA2D()
+        pca.set_input_cloud(xyz)
+        pca.set_indices(indices)
+        ok = (
+            np.allclose(np.asarray(pca.get_mean()), ref_mean, atol=1e-4)
+            and np.allclose(np.asarray(pca.get_eigen_values()), ref_w,
+                            rtol=1e-3, atol=1e-2)
+        )
+        v = np.asarray(pca.get_eigen_vectors())
+        for col in range(2):
+            d = min(np.linalg.norm(v[:, col] - ref_v[:, col]),
+                    np.linalg.norm(v[:, col] + ref_v[:, col]))
+            ok = ok and d < 1e-2
+        if not ok:
+            failures += 1
+            print(f"FAIL pca2d seed={seed}", flush=True)
+    print(f"misc (float_bev + pca2d): {n_cases} cases, failures={failures}",
+          flush=True)
+    return failures
 
 
 def run_normals_sweep(start: int, n_cases: int) -> int:
