@@ -48,6 +48,10 @@ def main() -> int:
                          "(radius + setKSearch vs the PCL loop oracles)")
     ap.add_argument("--misc", type=int, default=0,
                     help="also run N float-BEV + PCA2D oracle cases")
+    ap.add_argument("--twostage", type=int, default=0,
+                    help="also run N end-to-end two-stage registration "
+                         "differential cases (register_pair vs the composed "
+                         "plain-loop oracle; ~25 s/case)")
     args = ap.parse_args()
 
     import jax
@@ -193,6 +197,8 @@ def main() -> int:
         failures += run_normals_sweep(args.start, args.normals)
     if args.misc:
         failures += run_misc_sweep(args.start, args.misc)
+    if args.twostage:
+        failures += run_twostage_sweep(args.start, args.twostage)
 
     print(
         f"DONE: {n_done} cases in {time.time() - t0:.0f}s, "
@@ -411,6 +417,60 @@ def run_icp_sweep(start: int, target_asserted: int) -> int:
             f"(seeds {start + 1}..{seed})",
             flush=True,
         )
+    return failures
+
+
+def run_twostage_sweep(start: int, target_asserted: int) -> int:
+    """Fresh-seed END-TO-END two-stage registration differential: the
+    production ``register_pair`` vs the composed plain-loop oracle
+    (``ref_impl.two_stage_ref`` — every stage oracle glued the way the
+    reference's main() glues the stages,
+    /root/reference/BatchTopPartRegistration.cpp:356-532).
+
+    Covers the glue the per-stage legs can't: the f32 guess chain, coarse
+    best-of-two selection, fine-stage seeding, success classification, and
+    the report arithmetic on both stacks' transforms.  Knife-edge scenes
+    (oracle outcome unstable under a 1e-6 perturbation) are skipped, same
+    policy as the per-iteration ICP leg.  Returns the divergence count.
+    """
+    import time
+
+    from tests.test_twostage_differential import (
+        assert_two_stage_matches,
+        oracle_stable,
+        run_production,
+        twostage_scene,
+    )
+
+    failures = asserted = examined = 0
+    seed = start
+    t0 = time.time()
+    while asserted < target_asserted and examined < 5 * target_asserted:
+        seed += 1
+        examined += 1
+        xyz1, lab1, xyz2, lab2, guess, _ = twostage_scene(seed)
+        ref, stable = oracle_stable(xyz1, lab1, xyz2, lab2, guess)
+        if not stable:
+            continue
+        try:
+            best, fine = run_production(xyz1, lab1, xyz2, lab2, guess)
+            assert_two_stage_matches(best, fine, ref)
+        except AssertionError as e:
+            failures += 1
+            print(f"FAIL twostage seed={seed}: {str(e)[:400]}", flush=True)
+        asserted += 1
+        if asserted % 5 == 0:
+            print(
+                f"twostage: {asserted}/{examined} examined "
+                f"({(time.time() - t0) / asserted:.1f} s/case) "
+                f"failures={failures}",
+                flush=True,
+            )
+    print(
+        f"twostage: asserted {asserted}/{examined} examined "
+        f"(seeds {start + 1}..{seed}), failures={failures}",
+        flush=True,
+    )
     return failures
 
 

@@ -469,3 +469,91 @@ def pca2d_ref(points: np.ndarray, indices=None):
     scatter = d.T @ d  # unnormalized, like cloud_demean * cloud_demean^T
     w, v = np.linalg.eigh(scatter)  # ascending
     return mean, w[::-1].copy(), v[:, ::-1].copy()
+
+
+def _guess_angle_ref(angle_guess_deg: float, offset_deg: float = 0.0) -> float:
+    """The reference's mixed f32/f64 guess chain
+    (/root/reference/BatchTopPartRegistration.cpp:416-420): the parsed guess
+    is a C float, ``(angle + 180.0f) / 180.0f`` evaluates in f32, and only
+    the ``* M_PI`` promotes to double."""
+    a = np.float32(angle_guess_deg)
+    if offset_deg:
+        a = np.float32(a + np.float32(offset_deg))
+    return float(np.float32(a / np.float32(180.0))) * math.pi
+
+
+def _yaw4_ref(yaw_rad: float) -> np.ndarray:
+    t = np.eye(4, dtype=np.float64)
+    c, s = np.cos(yaw_rad), np.sin(yaw_rad)
+    t[0, 0], t[0, 1] = c, -s
+    t[1, 0], t[1, 1] = s, c
+    return t.astype(np.float32)
+
+
+def two_stage_ref(
+    cloud_src: list[dict],
+    cloud_tgt: list[dict],
+    guess_deg: float,
+    voxel_leaf: float = 0.2,
+    normal_radius: float = 2.0,
+    failure_fitness: float = 1.5,
+):
+    """Composed plain-loop oracle for the FULL two-stage top-part
+    registration (/root/reference/BatchTopPartRegistration.cpp:356-532):
+    extractTopAndFlatten + VoxelGrid on both clouds, 2-D normals on the
+    target, coarse point-to-plane ICP from both yaw guesses {theta,
+    theta+180 deg} with the best fitness winning (tie -> second guess,
+    :464), then full-cloud VoxelGrid + fine point-to-point ICP seeded by
+    the winner, and the fitness <= 1.5 success classification (:508-510).
+
+    Inputs are dict clouds ({x, y, z, label}); the full clouds for the fine
+    stage are ALL points (the reference voxel-grids the loaded cloud
+    unfiltered, :483-487).  Returns a dict with both coarse results, the
+    winner index, the fine result, and the success flag.  Everything
+    downstream of the per-stage oracles composes those oracles verbatim, so
+    a divergence here that no per-stage test catches is a *glue* bug
+    (stage wiring, guess chain, best-of-two, seeding)."""
+    flat_s = np.asarray(top_flatten_ref(cloud_src), np.float32).reshape(-1, 3)
+    flat_t = np.asarray(top_flatten_ref(cloud_tgt), np.float32).reshape(-1, 3)
+    vs = voxel_ref(flat_s, voxel_leaf)
+    vt = voxel_ref(flat_t, voxel_leaf)
+    nrm2, ok_t = normals2d_ref(vt[:, :2], radius=normal_radius)
+    # z=0 third component: the reference's PointNormal clouds carry 3-D
+    # normals with normal_z = 0 after Normal2dEstimation
+    nrm_t = np.concatenate(
+        [np.asarray(nrm2, np.float32), np.zeros((len(nrm2), 1), np.float32)], 1
+    )
+    coarse = []
+    for off in (0.0, 180.0):
+        guess = _yaw4_ref(_guess_angle_ref(guess_deg, off))
+        coarse.append(
+            icp_ref(
+                vs, vt, guess, 10.0, 10,
+                tgt_normals=nrm_t, normal_ok=ok_t,
+            )
+        )
+    # the C++ ternary (:464): strict < keeps the first, tie picks the second
+    best_i = 0 if coarse[0]["fitness"] < coarse[1]["fitness"] else 1
+    best = coarse[best_i]
+
+    full_s = np.asarray(
+        [(p["x"], p["y"], p["z"]) for p in cloud_src], np.float32
+    )
+    full_t = np.asarray(
+        [(p["x"], p["y"], p["z"]) for p in cloud_tgt], np.float32
+    )
+    fvs = voxel_ref(full_s, voxel_leaf)
+    fvt = voxel_ref(full_t, voxel_leaf)
+    fine = icp_ref(
+        fvs, fvt, best["transform"], 1.0, 100,
+        transformation_epsilon=1e-6, euclidean_fitness_epsilon=0.01,
+    )
+    return {
+        "coarse": coarse,
+        "best_i": best_i,
+        "best": best,
+        "fine": fine,
+        "success": fine["fitness"] <= failure_fitness,
+        "flat_counts": (len(flat_s), len(flat_t)),
+        "voxel_counts": (len(vs), len(vt), len(fvs), len(fvt)),
+    }

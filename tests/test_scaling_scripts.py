@@ -49,3 +49,13 @@ def test_fuzz_campaign_one_case_subprocess():
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "failures=0" in r.stdout
+
+
+@pytest.mark.slow
+def test_fuzz_campaign_twostage_leg_inprocess():
+    # in-process (shares the suite's jit cache — the subprocess leg would pay
+    # a cold CPU compile of the registration stages); one asserted case walks
+    # scene gen -> knife-edge filter -> production run -> cross-stack asserts
+    from scripts.fuzz_campaign import run_twostage_sweep
+
+    assert run_twostage_sweep(556000, 1) == 0
