@@ -224,10 +224,16 @@ def measure_tpu(ordered: bool = True, sensor: str = "HDL_64E",
     latency = sorted(lats)[1]
 
     int(run(stacked, jnp.float32(0.0)))
-    t0 = time.perf_counter()
-    checksum = int(run(stacked, jnp.float32(1000.0)))
-    dt = time.perf_counter() - t0
-    assert checksum != 0
+    # best of 3 timed dispatches (distinct offsets so no (program, value)
+    # pair repeats): the shared chip sees transient co-tenant contention that
+    # can depress a single dispatch ~25%, and the C++ baseline is already
+    # best-of-3 — symmetric treatment keeps the ratio honest
+    dt = float("inf")
+    for k in range(3):
+        t0 = time.perf_counter()
+        checksum = int(run(stacked, jnp.float32(1000.0 * (k + 1))))
+        dt = min(dt, time.perf_counter() - t0)
+        assert checksum != 0
     dt_compute = max(dt - latency, 1e-6)
     return k_stack * reps * BATCH / dt_compute
 
@@ -426,6 +432,27 @@ def verify_on_device() -> str:
         assert np.allclose(
             np.asarray(fine_b.transform), single_fine[k], atol=2e-3
         ), f"vmapped fine transform diverges from single-pair (scene {k})"
+
+    # --- on-chip end-to-end two-stage differential vs the composed oracle --
+    # the CPU suite asserts register_pair against tests/ref_impl.two_stage_ref
+    # (the per-stage PCL-semantics oracles glued the reference's way,
+    # /root/reference/BatchTopPartRegistration.cpp:356-532); this repeats ONE
+    # stable pinned scene on the real chip.  capacity/flat_cap 4096 reuse the
+    # stage programs the precision sweep above just compiled.
+    from tests.test_twostage_differential import (
+        assert_two_stage_matches,
+        oracle_stable,
+        run_production,
+        twostage_scene,
+    )
+
+    xyz1, lab1, xyz2, lab2, guess, _ = twostage_scene(1)
+    ref2, stable = oracle_stable(xyz1, lab1, xyz2, lab2, guess)
+    assert stable, "verify scene became a knife edge (pin a different seed)"
+    best_ts, fine_ts = run_production(
+        xyz1, lab1, xyz2, lab2, guess, capacity=4096, flat_cap=4096
+    )
+    assert_two_stage_matches(best_ts, fine_ts, ref2)
     return "ok"
 
 

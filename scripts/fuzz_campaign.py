@@ -51,7 +51,8 @@ def main() -> int:
     ap.add_argument("--twostage", type=int, default=0,
                     help="also run N end-to-end two-stage registration "
                          "differential cases (register_pair vs the composed "
-                         "plain-loop oracle; ~25 s/case)")
+                         "plain-loop oracle; every 3rd case adds the "
+                         "whole-cloud ablation glue; ~25-40 s/case)")
     args = ap.parse_args()
 
     import jax
@@ -437,9 +438,12 @@ def run_twostage_sweep(start: int, target_asserted: int) -> int:
 
     from tests.test_twostage_differential import (
         assert_two_stage_matches,
+        assert_whole_matches,
         oracle_stable,
         run_production,
+        run_production_whole,
         twostage_scene,
+        whole_oracle_stable,
     )
 
     failures = asserted = examined = 0
@@ -458,6 +462,17 @@ def run_twostage_sweep(start: int, target_asserted: int) -> int:
         except AssertionError as e:
             failures += 1
             print(f"FAIL twostage seed={seed}: {str(e)[:400]}", flush=True)
+        if asserted % 3 == 0:
+            # every 3rd case also runs the whole-cloud ablation glue
+            # (register_whole_pairs vs ref_impl.whole_ref) on the same scene
+            ref_w, stable_w = whole_oracle_stable(xyz1, lab1, xyz2, lab2, guess)
+            if stable_w:
+                try:
+                    fine_w = run_production_whole(xyz1, lab1, xyz2, lab2, guess)
+                    assert_whole_matches(fine_w, ref_w)
+                except AssertionError as e:
+                    failures += 1
+                    print(f"FAIL whole seed={seed}: {str(e)[:400]}", flush=True)
         asserted += 1
         if asserted % 5 == 0:
             print(

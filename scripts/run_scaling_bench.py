@@ -131,10 +131,15 @@ def measure_sharded(n_devices: int, compat: str, check_identity: bool,
     latency = sorted(lats)[1]
 
     int(run(stacked, jnp.float32(0.0)))
-    t0 = time.perf_counter()
-    checksum = int(run(stacked, jnp.float32(1000.0)))
-    dt = time.perf_counter() - t0
-    assert checksum != 0
+    # best of 3 timed dispatches at distinct offsets (bench.measure_tpu's
+    # round-3 methodology: resist transient co-tenant contention without
+    # ever repeating a (program, value) pair)
+    dt = float("inf")
+    for k in range(3):
+        t0 = time.perf_counter()
+        checksum = int(run(stacked, jnp.float32(1000.0 * (k + 1))))
+        dt = min(dt, time.perf_counter() - t0)
+        assert checksum != 0
     cps = k_stack * reps * global_batch / max(dt - latency, 1e-6)
 
     out = {"devices": n_devices, "clouds_per_sec": round(cps, 3),

@@ -557,3 +557,31 @@ def two_stage_ref(
         "flat_counts": (len(flat_s), len(flat_t)),
         "voxel_counts": (len(vs), len(vt), len(fvs), len(fvt)),
     }
+
+
+def whole_ref(
+    cloud_src: list[dict],
+    cloud_tgt: list[dict],
+    guess_deg: float,
+    voxel_leaf: float = 0.2,
+    failure_fitness: float = 1.5,
+):
+    """Composed whole-cloud ablation oracle
+    (/root/reference/BatchWholeRegistration.cpp:342-412): full-cloud
+    VoxelGrid + direct 3-D point-to-point ICP from the yaw guess with the
+    looser params (maxCorr 4 m, 200 iters, eps_t 1e-6, eps_f 0.001,
+    :232-235) and the same fitness <= 1.5 classification."""
+    full_s = np.asarray(
+        [(p["x"], p["y"], p["z"]) for p in cloud_src], np.float32
+    )
+    full_t = np.asarray(
+        [(p["x"], p["y"], p["z"]) for p in cloud_tgt], np.float32
+    )
+    fvs = voxel_ref(full_s, voxel_leaf)
+    fvt = voxel_ref(full_t, voxel_leaf)
+    guess = _yaw4_ref(_guess_angle_ref(guess_deg))
+    fine = icp_ref(
+        fvs, fvt, guess, 4.0, 200,
+        transformation_epsilon=1e-6, euclidean_fitness_epsilon=0.001,
+    )
+    return {"fine": fine, "success": fine["fitness"] <= failure_fitness}
