@@ -53,6 +53,11 @@ def main() -> int:
                          "differential cases (register_pair vs the composed "
                          "plain-loop oracle; every 3rd case adds the "
                          "whole-cloud ablation glue; ~25-40 s/case)")
+    ap.add_argument("--native", type=int, default=0,
+                    help="also run N cases per regime against the native C++ "
+                         "oracle (native/ref_oracle.cpp): pctpu vs C++ "
+                         "byte-diff every case (fast), plus the Python "
+                         "oracle as a third implementation every 4th case")
     args = ap.parse_args()
 
     import jax
@@ -200,6 +205,8 @@ def main() -> int:
         failures += run_misc_sweep(args.start, args.misc)
     if args.twostage:
         failures += run_twostage_sweep(args.start, args.twostage)
+    if args.native:
+        failures += run_native_sweep(args.start, args.native)
 
     print(
         f"DONE: {n_done} cases in {time.time() - t0:.0f}s, "
@@ -208,6 +215,122 @@ def main() -> int:
         flush=True,
     )
     return 1 if failures else 0
+
+
+def run_native_sweep(start: int, n_cases: int) -> int:
+    """Triple-agreement sweep against the native C++ oracle.
+
+    Every case byte-diffs pctpu's preprocess against native/ref_oracle.cpp
+    (microseconds per case, so this leg covers far more seeds per hour than
+    the Python-oracle legs); every 4th case additionally runs the Python
+    plain-loop oracle so all THREE independent implementations are compared
+    on the same inputs.  Also diffs float-BEV and top-flatten (in exact
+    reference order) against their native transcriptions every 4th case.
+    Returns the number of divergences.
+    """
+    import time
+
+    import numpy as np
+
+    from pctpu.config import FloatBevConfig
+    from pctpu.ops.bev import float_bev, fused_multi_single_bev
+    from pctpu.ops.ground import mark_ground
+    from pctpu.ops.ordering import get_ordered_cloud
+    from pctpu.ops.topflatten import extract_top_and_flatten
+
+    from tests import native_oracle, ref_impl
+    from tests.test_fuzz_differential import REGIMES, _regime_points
+    from tests.test_ops_preprocess import SMALL, ordered_ref_arrays, to_cloud
+    from tests.test_ops_registration import (
+        scene_cloud,
+        to_cloud as reg_to_cloud,
+    )
+
+    if not native_oracle.available():
+        print("native oracle build unavailable — leg skipped", flush=True)
+        return 0
+
+    failures = n_done = 0
+    t0 = time.time()
+    for case in range(n_cases):
+        for regime, (n, neg1, z_lo, z_hi, r_lo, r_hi) in enumerate(REGIMES):
+            seed = start + 500_000 + 100_000 * regime + case
+            rng = np.random.default_rng(seed)
+            pts = _regime_points(rng, n, neg1, z_lo, z_hi, r_lo, r_hi, SMALL)
+
+            nat_labels, nat_multi, nat_single, nat_xyz = (
+                native_oracle.preprocess(pts, SMALL)
+            )
+            ordered = get_ordered_cloud(to_cloud(pts), SMALL)
+            labeled, _ = mark_ground(ordered, SMALL)
+            fm, fs = fused_multi_single_bev(labeled, SMALL.height_res)
+            if not (
+                np.array_equal(np.asarray(ordered.xyz), nat_xyz)
+                and np.array_equal(np.asarray(labeled.label), nat_labels)
+                and np.array_equal(np.asarray(fm), nat_multi)
+                and np.array_equal(np.asarray(fs), nat_single)
+            ):
+                failures += 1
+                print(f"FAIL native-vs-pctpu regime={regime} seed={seed}",
+                      flush=True)
+
+            if case % 4 == 0:
+                ref_cloud, _ = ordered_ref_arrays(pts, SMALL)
+                ref_impl.mark_ground_ref(
+                    ref_cloud, SMALL.n_scan, SMALL.horizon_scan,
+                    SMALL.ground_upper_scan,
+                )
+                ref_labels = np.array(
+                    [p["label"] for p in ref_cloud], np.int32
+                )
+                if not (
+                    np.array_equal(nat_labels, ref_labels)
+                    and np.array_equal(
+                        nat_multi,
+                        ref_impl.multi_bev_ref(ref_cloud, SMALL.height_res),
+                    )
+                    and np.array_equal(
+                        nat_single, ref_impl.single_bev_ref(ref_cloud)
+                    )
+                ):
+                    failures += 1
+                    print(f"FAIL native-vs-python regime={regime} seed={seed}",
+                          flush=True)
+            n_done += 1
+
+        if case % 4 == 0:
+            prng = np.random.default_rng(start + 500_000 + case)
+            scene = scene_cloud(prng)
+            xyz = np.array(
+                [[p["x"], p["y"], p["z"]] for p in scene], np.float32
+            )
+            lab = np.array([p["label"] for p in scene], np.int32)
+            cloud = reg_to_cloud(scene, capacity=1024)
+            for fg in (False, True):
+                nat_f = native_oracle.float_bev(xyz, lab, fg)
+                got_f = np.asarray(
+                    float_bev(cloud, FloatBevConfig(filter_ground=fg))
+                )
+                if not np.array_equal(got_f, nat_f):
+                    failures += 1
+                    print(f"FAIL native float_bev filt={fg} case={case}",
+                          flush=True)
+            nat_t = native_oracle.top_flatten(xyz, lab)
+            out, mask, cnt = extract_top_and_flatten(cloud)
+            got_t = np.asarray(out)[np.asarray(mask)]
+            if int(cnt) != len(nat_t) or not np.array_equal(got_t, nat_t):
+                failures += 1
+                print(f"FAIL native top_flatten case={case}", flush=True)
+
+        if case % 20 == 19:
+            rate = n_done / (time.time() - t0)
+            print(
+                f"native [{time.time() - t0:6.0f}s] {n_done} cases "
+                f"({rate:.1f}/s) failures={failures}",
+                flush=True,
+            )
+    print(f"native: {n_done} cases, failures={failures}", flush=True)
+    return failures
 
 
 def run_misc_sweep(start: int, n_cases: int) -> int:

@@ -52,6 +52,16 @@ def test_fuzz_campaign_one_case_subprocess():
 
 
 @pytest.mark.slow
+def test_fuzz_campaign_native_leg_inprocess():
+    # in-process (shares the suite's jit cache); 4 cases per regime walk the
+    # pctpu-vs-C++ byte diff, the every-4th triple comparison with the Python
+    # oracle, and the float-BEV/top-flatten native legs
+    from scripts.fuzz_campaign import run_native_sweep
+
+    assert run_native_sweep(557000, 4) == 0
+
+
+@pytest.mark.slow
 def test_fuzz_campaign_twostage_leg_inprocess():
     # in-process (shares the suite's jit cache — the subprocess leg would pay
     # a cold CPU compile of the registration stages); one asserted case walks
