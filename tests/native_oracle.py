@@ -82,17 +82,29 @@ def preprocess(points: list[dict], params):
     """Run the native ordering+ground+BEV chain on a dict-point list (the
     fuzz fixtures' format).  Returns (labels (grid,) i32, multi u8, single u8,
     ordered_xyz (grid,3) f32)."""
-    lib = _load()
-    assert lib is not None
     n = len(points)
     xyz = np.array([[p["x"], p["y"], p["z"]] for p in points], np.float32)
-    xyz = np.ascontiguousarray(xyz.reshape(n, 3))
-    intensity = np.ascontiguousarray(
-        [p["intensity"] for p in points], np.float32
+    return preprocess_arrays(
+        xyz.reshape(n, 3),
+        np.asarray([p["intensity"] for p in points], np.float32),
+        np.asarray([p["row"] for p in points], np.int32),
+        np.asarray([p["col"] for p in points], np.int32),
+        np.asarray([p["label"] for p in points], np.int32),
+        params,
     )
-    row = np.ascontiguousarray([p["row"] for p in points], np.int32)
-    col = np.ascontiguousarray([p["col"] for p in points], np.int32)
-    label = np.ascontiguousarray([p["label"] for p in points], np.int32)
+
+
+def preprocess_arrays(xyz, intensity, row, col, label, params):
+    """Array-input variant of :func:`preprocess` (e.g. fields read straight
+    from a PCD)."""
+    lib = _load()
+    assert lib is not None
+    n = len(xyz)
+    xyz = np.ascontiguousarray(xyz, np.float32).reshape(n, 3)
+    intensity = np.ascontiguousarray(intensity, np.float32)
+    row = np.ascontiguousarray(row, np.int32)
+    col = np.ascontiguousarray(col, np.int32)
+    label = np.ascontiguousarray(label, np.int32)
     grid = params.n_scan * params.horizon_scan
     labels_out = np.empty(grid, np.int32)
     multi = np.empty(24 * 224 * 224, np.uint8)

@@ -103,6 +103,58 @@ def test_pctpu_matches_native_full_sensor_grid():
     np.testing.assert_array_equal(np.asarray(fs), nat[2])
 
 
+@pytest.mark.slow
+def test_multi_bev_pipeline_artifacts_match_native(tmp_path):
+    """Full-pipeline artifact differential: the files run_multi_bev WRITES
+    (multi-BEV .bin, single-BEV csv, non-ground PCD labels) equal the native
+    C++ oracle run on the same input keyframes — the end-to-end composition
+    (loader → device kernels → writers), not just the ops."""
+    import os
+
+    from pctpu.io.pcd import read_pcd
+    from pctpu.pipelines.multi_bev import run_multi_bev
+    from pctpu.pipelines.selectors import run_kitti_select
+
+    from .fixtures import make_kitti_tree
+
+    root = str(tmp_path / "kitti")
+    make_kitti_tree(root, num_frames=3, spacing=3.0)
+    assert run_kitti_select(root, 2.0) == 3
+    tree = os.path.join(root, "selected_keyframes_2.00m")
+    out = run_multi_bev(tree, "HDL_64E", batch_size=2, write_pngs=False)
+    assert out.num_clouds == 3
+
+    params = get_sensor_params("HDL_64E")
+    for i in range(3):
+        data, _ = read_pcd(os.path.join(tree, "keyframe_point_cloud",
+                                        f"{i:06d}.pcd"))
+        xyz = np.stack([data["x"], data["y"], data["z"]], axis=1)
+        nat_labels, nat_multi, nat_single, _ = native_oracle.preprocess_arrays(
+            xyz, data["intensity"], data["row"].astype(np.int32),
+            data["col"].astype(np.int32), data["label"].astype(np.int32),
+            params,
+        )
+        blob = open(os.path.join(tree, "output_multi_bev", "binary",
+                                 f"{i:06d}.bin"), "rb").read()
+        np.testing.assert_array_equal(
+            np.frombuffer(blob, np.uint8).reshape(24, 224, 224), nat_multi,
+            err_msg=f"multi bin {i}",
+        )
+        csv_text = open(os.path.join(tree, "output_single_bev", "csv",
+                                     f"{i:06d}.csv")).read()
+        csv_mat = np.array(
+            [[int(v) for v in r.split(",")] for r in
+             csv_text.strip().split("\n")], np.uint8,
+        )
+        np.testing.assert_array_equal(csv_mat, nat_single,
+                                      err_msg=f"single csv {i}")
+        ng, _ = read_pcd(os.path.join(tree, "non_ground_point_cloud",
+                                      f"{i:06d}.pcd"))
+        np.testing.assert_array_equal(
+            ng["label"].astype(np.int32), nat_labels, err_msg=f"labels {i}"
+        )
+
+
 def test_float_bev_matches_native():
     from tests.test_ops_registration import scene_cloud
     from tests.test_ops_registration import to_cloud as reg_to_cloud
