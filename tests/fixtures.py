@@ -124,3 +124,119 @@ def make_oxford_tree(root: str, num_frames: int = 5, spacing_m: float = 3.0,
         np.concatenate([x, y, z, i]).tofile(
             os.path.join(root, "velodyne_left", f"{s:010d}.bin")
         )
+
+
+def make_mulran_raycast_world(
+    root: str,
+    num_frames: int = 6,
+    n_cols: int = 192,
+    spacing_m: float = 2.2,
+    yaw_step_deg: float = 2.5,
+    seed: int = 0,
+):
+    """A geometrically CONSISTENT MulRan-layout drive: every frame ray-casts
+    the same static world (flat ground plane at z = -1.9 + cylindrical
+    buildings) from a moving ego pose, with the Ouster emission order the
+    reference's reader expects (row = k mod 64, col = azimuth bin,
+    /root/reference/MulranPointCloudSelect.cpp:114-128).
+
+    Unlike the random-scan fixtures, ground marking genuinely fires on this
+    geometry (flat-ground ring pairs pass the 10-degree slope test, walls
+    fail it) and registration of keyframe pairs has a known ground-truth
+    relative pose.  Returns {"stamps": [...], "poses": [(x, y, yaw_rad)]}
+    (the TRUE ego pose per frame; GT csv rows bracket the stamps so the
+    selector's interpolation path is exercised and lands back on these).
+
+    Rays: 64 rings (elevation +16.6 .. -16.6 degrees, top first so larger
+    row = lower ring like the sensor) x ``n_cols`` azimuth columns of the
+    1024-bin horizon.  No-return rays (sky) emit (0, 0, 0, 0) like real
+    Ouster frames.
+    """
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "sensor_data", "Ouster"), exist_ok=True)
+
+    # static world: ground plane z=-1.9; buildings inside the rendered
+    # azimuth wedge (0..n_cols/1024*360 deg from +x) at 25-55 m so ego
+    # motion never rotates them out of the wedge
+    buildings = []
+    for k in range(7):
+        az = np.radians(14.0 + 4.5 * k)
+        dist = 25.0 + 4.5 * k
+        buildings.append((dist * np.cos(az), dist * np.sin(az), 3.5))
+    z_ground, z_top, h_sensor = -1.9, 6.0, 0.0
+
+    el = np.radians(16.6 - np.arange(64) * (33.2 / 63.0))  # top first
+    az = np.radians(np.arange(n_cols) * (360.0 / 1024.0))
+    # (n_cols, 64, 3) sensor-frame directions, emission order c-major
+    d = np.stack(
+        [
+            np.cos(el)[None, :] * np.cos(az)[:, None],
+            np.cos(el)[None, :] * np.sin(az)[:, None],
+            np.broadcast_to(np.sin(el)[None, :], (n_cols, 64)),
+        ],
+        axis=-1,
+    )
+
+    t0 = 1_000_000_000
+    stamps = [t0 + i * 100_000 for i in range(num_frames)]
+    yaw_step = np.radians(yaw_step_deg)
+
+    def true_pose(u: float):
+        return (spacing_m * u, 0.15 * u, yaw_step * u)
+
+    # GT csv rows bracket every stamp (one before, one after), constant-rate
+    # motion so the selector's lerp+slerp lands exactly on true_pose(i)
+    rows = []
+    for k in range(num_frames + 1):
+        t = t0 - 50_000 + k * 100_000
+        x, y, yaw = true_pose((t - t0) / 100_000.0)
+        c, s = np.cos(yaw), np.sin(yaw)
+        rows.append(
+            f"{t},{c:.9f},{-s:.9f},0.0,{x:.6f},{s:.9f},{c:.9f},0.0,{y:.6f},"
+            "0.0,0.0,1.0,0.0"
+        )
+    with open(os.path.join(root, "global_pose.csv"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+    with open(os.path.join(root, "sensor_data", "ouster_front_stamp.csv"), "w") as f:
+        f.write("\n".join(str(s) for s in stamps) + "\n")
+
+    poses = []
+    for i, stamp in enumerate(stamps):
+        ox, oy, yaw = true_pose(float(i))
+        poses.append((ox, oy, yaw))
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        dw = d.copy()
+        dw[..., 0] = cy * d[..., 0] - sy * d[..., 1]
+        dw[..., 1] = sy * d[..., 0] + cy * d[..., 1]
+
+        dz = dw[..., 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_ground = np.where(dz < -1e-6, (z_ground - h_sensor) / dz, np.inf)
+        t_hit = t_ground
+        is_wall = np.zeros(t_hit.shape, bool)
+        for cx, cyd, radius in buildings:
+            a = dw[..., 0] ** 2 + dw[..., 1] ** 2
+            bq = 2.0 * ((ox - cx) * dw[..., 0] + (oy - cyd) * dw[..., 1])
+            c0 = (ox - cx) ** 2 + (oy - cyd) ** 2 - radius**2
+            disc = bq * bq - 4.0 * a * c0
+            with np.errstate(invalid="ignore"):
+                tw = (-bq - np.sqrt(np.maximum(disc, 0.0))) / (2.0 * a)
+            zw = tw * dz
+            ok = (disc > 0) & (tw > 0.5) & (zw >= z_ground) & (zw <= z_top)
+            closer = ok & (tw < t_hit)
+            t_hit = np.where(closer, tw, t_hit)
+            is_wall |= closer
+        t_hit = t_hit + rng.normal(0, 0.01, t_hit.shape)  # range noise
+        valid = np.isfinite(t_hit) & (t_hit < 90.0)
+
+        pts = d * np.where(valid, t_hit, 0.0)[..., None]  # SENSOR frame
+        intensity = np.where(
+            valid, np.where(is_wall, 0.7, 0.35) + rng.uniform(0, 0.2, t_hit.shape), 0.0
+        )
+        scan = np.concatenate(
+            [pts.reshape(-1, 3), intensity.reshape(-1, 1)], axis=1
+        ).astype(np.float32)
+        scan.tofile(
+            os.path.join(root, "sensor_data", "Ouster", f"{stamp:010d}.bin")
+        )
+    return {"stamps": stamps, "poses": poses}
