@@ -13,10 +13,12 @@ On a machine WITH PCL/OpenCV/Boost, this script:
      window (<1 px BEV, <0.5° yaw — BASELINE.json:5).
 
 Where PCL is absent (e.g. the TPU build image this repo is developed in), it
-prints what is missing and exits 0 with SKIPPED — the fidelity claim then
-rests on the transcribed plain-loop oracles (tests/ref_impl.py), and this
-script is the packaged path to upgrade it to reference-verified on any
-workstation with the deps.
+falls back to the native-C++-oracle tier: the pctpu CLIs run over the same
+miniature dataset and every written BEV/label artifact is byte-diffed against
+native/ref_oracle.cpp (an independent loop-style transcription of the
+reference semantics).  The full reference tier remains the packaged path to
+upgrade the fidelity claim to reference-verified on any workstation with the
+deps.
 
 Usage:  python scripts/run_reference_parity.py [--workdir DIR] [--keep]
 """
@@ -239,6 +241,72 @@ def parity_registration(ref_report: str, got_report: str,
     )
 
 
+def native_oracle_tier(workdir: str) -> int:
+    """Fallback tier for PCL-less machines: run the pctpu CLIs over the same
+    miniature dataset and byte-diff every written BEV/label artifact against
+    the native C++ oracle (native/ref_oracle.cpp — an independent loop-style
+    transcription of the reference semantics).  Weaker than building the
+    actual reference, but it exercises the identical artifact surface, so
+    the harness reports real comparisons everywhere instead of skipping."""
+    import numpy as np
+
+    from pctpu.config import get_sensor_params
+    from pctpu.io.pcd import read_pcd
+    from tests import native_oracle
+    from tests.fixtures import make_kitti_tree
+
+    if not native_oracle.available():
+        log("native oracle build unavailable — nothing to compare")
+        return 0
+
+    report: list[str] = []
+    ds = os.path.join(workdir, "ds_native")
+    make_kitti_tree(ds, num_frames=5, spacing=3.0)
+    pctpu_cli("kitti_point_cloud_select", ds, "2.0")
+    sel = os.path.join(ds, "selected_keyframes_2.00m")
+    pctpu_cli("batch_multi_bev_gen", sel, "HDL_64E")
+
+    params = get_sensor_params("HDL_64E")
+    for i in range(5):
+        data, _ = read_pcd(
+            os.path.join(sel, "keyframe_point_cloud", f"{i:06d}.pcd")
+        )
+        xyz = np.stack([data["x"], data["y"], data["z"]], axis=1)
+        labels, multi, single, _ = native_oracle.preprocess_arrays(
+            xyz, data["intensity"], data["row"].astype(np.int32),
+            data["col"].astype(np.int32), data["label"].astype(np.int32),
+            params,
+        )
+        blob = open(
+            os.path.join(sel, "output_multi_bev", "binary", f"{i:06d}.bin"),
+            "rb",
+        ).read()
+        ok = np.array_equal(np.frombuffer(blob, np.uint8), multi.reshape(-1))
+        report.append(("BYTES-OK " if ok else "BYTES-DIFF ")
+                      + f"native/multi_bev/{i:06d}.bin")
+        got_csv = _read_fmt_csv(
+            os.path.join(sel, "output_single_bev", "csv", f"{i:06d}.csv")
+        )
+        ok = np.array_equal(got_csv.astype(np.uint8), single)
+        report.append(("BYTES-OK " if ok else "BYTES-DIFF ")
+                      + f"native/single_bev/{i:06d}.csv")
+        ng, _ = read_pcd(
+            os.path.join(sel, "non_ground_point_cloud", f"{i:06d}.pcd")
+        )
+        ok = np.array_equal(ng["label"].astype(np.int32), labels)
+        report.append(("BYTES-OK " if ok else "BYTES-DIFF ")
+                      + f"native/labels/{i:06d}.pcd")
+
+    print("\n===== native-oracle tier report =====")
+    bad = 0
+    for line in report:
+        print(line)
+        if line.startswith("BYTES-DIFF"):
+            bad += 1
+    print(f"===== {len(report)} comparisons, {bad} diverging =====")
+    return 1 if bad else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default=None)
@@ -247,10 +315,19 @@ def main() -> int:
 
     missing = check_deps()
     if missing:
-        log(f"SKIPPED: reference build prerequisites missing: {missing}")
+        log(f"reference build prerequisites missing: {missing}")
         log("run this script on a machine with PCL/OpenCV/Boost to upgrade "
             "the fidelity claim from oracle-verified to reference-verified")
-        return 0
+        log("falling back to the native-C++-oracle tier "
+            "(native/ref_oracle.cpp) so the harness still compares the "
+            "written artifact surface on this machine")
+        workdir = args.workdir or tempfile.mkdtemp(prefix="pctpu_parity_")
+        os.makedirs(workdir, exist_ok=True)
+        try:
+            return native_oracle_tier(workdir)
+        finally:
+            if not args.keep and args.workdir is None:
+                shutil.rmtree(workdir, ignore_errors=True)
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="pctpu_parity_")
     os.makedirs(workdir, exist_ok=True)

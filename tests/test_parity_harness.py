@@ -11,14 +11,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_parity_harness_skips_gracefully_without_pcl():
+    env = dict(
+        os.environ,
+        # persistent compile cache for the CLI subprocesses the harness
+        # spawns (cold 1-device CPU XLA compiles dominate its runtime)
+        JAX_COMPILATION_CACHE_DIR=os.path.join(REPO, "tests", ".jax_cache"),
+    )
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "run_reference_parity.py")],
-        capture_output=True, text=True, cwd=REPO, timeout=300,
+        capture_output=True, text=True, cwd=REPO, timeout=600, env=env,
     )
-    # on a PCL machine this would run the full comparison; here it must
-    # skip cleanly (exit 0) and say why
+    # on a PCL machine this runs the full reference comparison; here it must
+    # say why that tier is unavailable and fall back to the native-C++-oracle
+    # tier, whose artifact comparisons must all agree
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "SKIPPED" in r.stdout or "parity report" in r.stdout
+    assert "parity report" in r.stdout or (
+        "native-oracle tier report" in r.stdout and "0 diverging" in r.stdout
+    ), r.stdout[-2000:]
 
 
 def test_batch_cloud_manip_cli_runs(tmp_path):
