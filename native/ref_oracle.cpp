@@ -113,21 +113,25 @@ int pctpu_ref_preprocess(const float* xyz, const float* intensity,
   std::vector<float> heights((std::size_t)kSectRows * kSectCols, 0.0f);
   std::vector<float> counts((std::size_t)kSectRows * kSectCols, 0.01f);
 
+  // the Python oracle indexes a list, where a negative index wraps from
+  // the end (reachable when ground_upper >= n_scan pushes the sweep to
+  // r == 0, or via the (c-2) fallback at c < 2) — mirror that wrap
+  // everywhere instead of under-reading the heap
+  auto wrap = [grid](std::int64_t idx) {
+    return idx < 0 ? idx + grid : idx;
+  };
   for (std::int32_t c = 0; c < horizon; ++c) {
     for (std::int32_t r = n_scan - 1; r > n_scan - ground_upper - 1; --r) {
       std::int64_t lower = (std::int64_t)r * horizon + c;
-      std::int64_t upper = (std::int64_t)(r - 1) * horizon + c;
+      std::int64_t upper = wrap((std::int64_t)(r - 1) * horizon + c);
       if (g[upper].intensity == -1.0f) {
         std::int64_t tmp_col = (c + 2) % horizon;
-        upper = (std::int64_t)(r - 1) * horizon + tmp_col;
+        upper = wrap((std::int64_t)(r - 1) * horizon + tmp_col);
       }
       if (g[upper].intensity == -1.0f) {
         // C++ % truncates toward zero (ref_impl uses fmod for the same)
         std::int64_t tmp_col = (std::int64_t)(c - 2) % horizon;
-        upper = (std::int64_t)(r - 1) * horizon + tmp_col;
-        // the Python oracle indexes a list, where a negative index wraps
-        // from the end (possible only when r-1 == 0 and c < 2) — mirror it
-        if (upper < 0) upper += grid;
+        upper = wrap((std::int64_t)(r - 1) * horizon + tmp_col);
       }
       if (g[upper].intensity == -1.0f && r >= 2) {
         upper = (std::int64_t)(r - 2) * horizon + c;
@@ -146,7 +150,7 @@ int pctpu_ref_preprocess(const float* xyz, const float* intensity,
           (float)(std::atan2((double)dz, std::sqrt((double)ss)) * 180.0 / M_PI);
       if (std::fabs((double)angle) <= 10.0) {
         gm[lower] = 1;
-        gm[(std::int64_t)(r - 1) * horizon + c] = 1;
+        gm[wrap((std::int64_t)(r - 1) * horizon + c)] = 1;
       }
     }
   }

@@ -238,9 +238,9 @@ def run_native_sweep(start: int, n_cases: int) -> int:
     from pctpu.ops.ordering import get_ordered_cloud
     from pctpu.ops.topflatten import extract_top_and_flatten
 
-    from tests import native_oracle, ref_impl
+    from tests import native_oracle
     from tests.test_fuzz_differential import REGIMES, _regime_points
-    from tests.test_ops_preprocess import SMALL, ordered_ref_arrays, to_cloud
+    from tests.test_ops_preprocess import SMALL, to_cloud
     from tests.test_ops_registration import (
         scene_cloud,
         to_cloud as reg_to_cloud,
@@ -275,23 +275,13 @@ def run_native_sweep(start: int, n_cases: int) -> int:
                       flush=True)
 
             if case % 4 == 0:
-                ref_cloud, _ = ordered_ref_arrays(pts, SMALL)
-                ref_impl.mark_ground_ref(
-                    ref_cloud, SMALL.n_scan, SMALL.horizon_scan,
-                    SMALL.ground_upper_scan,
-                )
-                ref_labels = np.array(
-                    [p["label"] for p in ref_cloud], np.int32
-                )
+                from tests.test_native_oracle import _python_oracle
+
+                py_labels, py_multi, py_single, _ = _python_oracle(pts, SMALL)
                 if not (
-                    np.array_equal(nat_labels, ref_labels)
-                    and np.array_equal(
-                        nat_multi,
-                        ref_impl.multi_bev_ref(ref_cloud, SMALL.height_res),
-                    )
-                    and np.array_equal(
-                        nat_single, ref_impl.single_bev_ref(ref_cloud)
-                    )
+                    np.array_equal(nat_labels, py_labels)
+                    and np.array_equal(nat_multi, py_multi)
+                    and np.array_equal(nat_single, py_single)
                 ):
                     failures += 1
                     print(f"FAIL native-vs-python regime={regime} seed={seed}",

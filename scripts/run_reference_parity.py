@@ -113,7 +113,10 @@ def run(cmd: list[str], **kw) -> subprocess.CompletedProcess:
 
 def pctpu_cli(tool: str, *args: str) -> None:
     env = dict(os.environ)
-    env.setdefault("JAX_PLATFORMS", "cpu")
+    # force CPU, not setdefault: the dev box exports JAX_PLATFORMS=axon (the
+    # tunneled TPU), and a parity run must not claim the shared chip — the
+    # comparison target is bit-exact host-verifiable output either way
+    env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run(
         [sys.executable, "-m", f"pctpu.cli.{tool}", *map(str, args)],
         cwd=REPO, env=env, capture_output=True, text=True,
@@ -248,10 +251,7 @@ def native_oracle_tier(workdir: str) -> int:
     transcription of the reference semantics).  Weaker than building the
     actual reference, but it exercises the identical artifact surface, so
     the harness reports real comparisons everywhere instead of skipping."""
-    import numpy as np
-
     from pctpu.config import get_sensor_params
-    from pctpu.io.pcd import read_pcd
     from tests import native_oracle
     from tests.fixtures import make_kitti_tree
 
@@ -259,43 +259,15 @@ def native_oracle_tier(workdir: str) -> int:
         log("native oracle build unavailable — nothing to compare")
         return 0
 
-    report: list[str] = []
     ds = os.path.join(workdir, "ds_native")
     make_kitti_tree(ds, num_frames=5, spacing=3.0)
     pctpu_cli("kitti_point_cloud_select", ds, "2.0")
     sel = os.path.join(ds, "selected_keyframes_2.00m")
     pctpu_cli("batch_multi_bev_gen", sel, "HDL_64E")
 
-    params = get_sensor_params("HDL_64E")
-    for i in range(5):
-        data, _ = read_pcd(
-            os.path.join(sel, "keyframe_point_cloud", f"{i:06d}.pcd")
-        )
-        xyz = np.stack([data["x"], data["y"], data["z"]], axis=1)
-        labels, multi, single, _ = native_oracle.preprocess_arrays(
-            xyz, data["intensity"], data["row"].astype(np.int32),
-            data["col"].astype(np.int32), data["label"].astype(np.int32),
-            params,
-        )
-        blob = open(
-            os.path.join(sel, "output_multi_bev", "binary", f"{i:06d}.bin"),
-            "rb",
-        ).read()
-        ok = np.array_equal(np.frombuffer(blob, np.uint8), multi.reshape(-1))
-        report.append(("BYTES-OK " if ok else "BYTES-DIFF ")
-                      + f"native/multi_bev/{i:06d}.bin")
-        got_csv = _read_fmt_csv(
-            os.path.join(sel, "output_single_bev", "csv", f"{i:06d}.csv")
-        )
-        ok = np.array_equal(got_csv.astype(np.uint8), single)
-        report.append(("BYTES-OK " if ok else "BYTES-DIFF ")
-                      + f"native/single_bev/{i:06d}.csv")
-        ng, _ = read_pcd(
-            os.path.join(sel, "non_ground_point_cloud", f"{i:06d}.pcd")
-        )
-        ok = np.array_equal(ng["label"].astype(np.int32), labels)
-        report.append(("BYTES-OK " if ok else "BYTES-DIFF ")
-                      + f"native/labels/{i:06d}.pcd")
+    report = native_oracle.compare_kitti_artifacts(
+        sel, get_sensor_params("HDL_64E"), range(5)
+    )
 
     print("\n===== native-oracle tier report =====")
     bad = 0

@@ -69,7 +69,19 @@ def _load() -> ctypes.CDLL | None:
             ]
             lib.pctpu_ref_top_flatten.restype = ctypes.c_int64
             _lib = lib
-        except Exception:
+        except Exception as exc:
+            # never silently degrade the evidence tier to a no-op success:
+            # surface the g++ diagnostic so a broken oracle build is visible
+            # in campaign/parity logs (callers still treat None as "skip")
+            import sys
+
+            detail = ""
+            if isinstance(exc, subprocess.CalledProcessError):
+                detail = (exc.stderr or b"").decode(errors="replace")[-2000:]
+            print(
+                f"native_oracle: build/load failed: {exc}\n{detail}",
+                file=sys.stderr,
+            )
             _lib = None
         return _lib
 
@@ -125,6 +137,54 @@ def preprocess_arrays(xyz, intensity, row, col, label, params):
         single.reshape(224, 224),
         ordered_xyz.reshape(grid, 3),
     )
+
+
+def compare_kitti_artifacts(tree: str, params, indices) -> list[str]:
+    """Byte-diff the artifacts a multi-BEV pipeline run WROTE under ``tree``
+    (multi-BEV .bin, single-BEV csv, non-ground PCD labels) against this
+    oracle run on the same input keyframes.  One source of truth for the
+    pipeline test (tests/test_native_oracle.py) and the parity harness's
+    fallback tier (scripts/run_reference_parity.py).  Returns report lines
+    ("BYTES-OK <what>" / "BYTES-DIFF <what>")."""
+    import os
+
+    from pctpu.io.pcd import read_pcd
+
+    report = []
+    for i in indices:
+        data, _ = read_pcd(
+            os.path.join(tree, "keyframe_point_cloud", f"{i:06d}.pcd")
+        )
+        xyz = np.stack([data["x"], data["y"], data["z"]], axis=1)
+        labels, multi, single, _ = preprocess_arrays(
+            xyz, data["intensity"], data["row"].astype(np.int32),
+            data["col"].astype(np.int32), data["label"].astype(np.int32),
+            params,
+        )
+        blob = open(
+            os.path.join(tree, "output_multi_bev", "binary", f"{i:06d}.bin"),
+            "rb",
+        ).read()
+        ok = np.array_equal(np.frombuffer(blob, np.uint8), multi.reshape(-1))
+        report.append(("BYTES-OK " if ok else "BYTES-DIFF ")
+                      + f"native/multi_bev/{i:06d}.bin")
+        csv_text = open(
+            os.path.join(tree, "output_single_bev", "csv", f"{i:06d}.csv")
+        ).read()
+        csv_mat = np.array(
+            [[int(v) for v in r.split(",")] for r in
+             csv_text.strip().split("\n")], np.uint8,
+        )
+        ok = np.array_equal(csv_mat, single)
+        report.append(("BYTES-OK " if ok else "BYTES-DIFF ")
+                      + f"native/single_bev/{i:06d}.csv")
+        ng, _ = read_pcd(
+            os.path.join(tree, "non_ground_point_cloud", f"{i:06d}.pcd")
+        )
+        ok = np.array_equal(ng["label"].astype(np.int32), labels)
+        report.append(("BYTES-OK " if ok else "BYTES-DIFF ")
+                      + f"native/labels/{i:06d}.pcd")
+    return report
 
 
 def float_bev(xyz: np.ndarray, label: np.ndarray, filter_ground: bool):

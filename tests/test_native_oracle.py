@@ -85,6 +85,24 @@ def test_pctpu_preprocess_matches_native(compat):
         )
 
 
+def test_native_matches_python_oracle_sweep_to_row_zero():
+    """ground_upper == n_scan drives the sweep to r == 0, where the Python
+    list oracle wraps negative neighbor indices from the end — the C++
+    oracle must mirror the wrap, not under-read (review finding)."""
+    from pctpu.config import SensorParams
+
+    params = SensorParams(
+        n_scan=8, horizon_scan=16, ground_upper_scan=8, height_res=0.5
+    )
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        pts = _regime_points(rng, 120, 0.3, -2.5, 4.0, 2.0, 60.0, params)
+        py = _python_oracle(pts, params)
+        nat = native_oracle.preprocess(pts, params)
+        for name, a, b in zip(("labels", "multi", "single", "ordered"), nat, py):
+            np.testing.assert_array_equal(a, b, err_msg=f"{name} (seed {seed})")
+
+
 @pytest.mark.slow
 def test_pctpu_matches_native_full_sensor_grid():
     """One full HDL-64E grid through all three implementations."""
@@ -111,7 +129,6 @@ def test_multi_bev_pipeline_artifacts_match_native(tmp_path):
     (loader → device kernels → writers), not just the ops."""
     import os
 
-    from pctpu.io.pcd import read_pcd
     from pctpu.pipelines.multi_bev import run_multi_bev
     from pctpu.pipelines.selectors import run_kitti_select
 
@@ -124,35 +141,12 @@ def test_multi_bev_pipeline_artifacts_match_native(tmp_path):
     out = run_multi_bev(tree, "HDL_64E", batch_size=2, write_pngs=False)
     assert out.num_clouds == 3
 
-    params = get_sensor_params("HDL_64E")
-    for i in range(3):
-        data, _ = read_pcd(os.path.join(tree, "keyframe_point_cloud",
-                                        f"{i:06d}.pcd"))
-        xyz = np.stack([data["x"], data["y"], data["z"]], axis=1)
-        nat_labels, nat_multi, nat_single, _ = native_oracle.preprocess_arrays(
-            xyz, data["intensity"], data["row"].astype(np.int32),
-            data["col"].astype(np.int32), data["label"].astype(np.int32),
-            params,
-        )
-        blob = open(os.path.join(tree, "output_multi_bev", "binary",
-                                 f"{i:06d}.bin"), "rb").read()
-        np.testing.assert_array_equal(
-            np.frombuffer(blob, np.uint8).reshape(24, 224, 224), nat_multi,
-            err_msg=f"multi bin {i}",
-        )
-        csv_text = open(os.path.join(tree, "output_single_bev", "csv",
-                                     f"{i:06d}.csv")).read()
-        csv_mat = np.array(
-            [[int(v) for v in r.split(",")] for r in
-             csv_text.strip().split("\n")], np.uint8,
-        )
-        np.testing.assert_array_equal(csv_mat, nat_single,
-                                      err_msg=f"single csv {i}")
-        ng, _ = read_pcd(os.path.join(tree, "non_ground_point_cloud",
-                                      f"{i:06d}.pcd"))
-        np.testing.assert_array_equal(
-            ng["label"].astype(np.int32), nat_labels, err_msg=f"labels {i}"
-        )
+    report = native_oracle.compare_kitti_artifacts(
+        tree, get_sensor_params("HDL_64E"), range(3)
+    )
+    assert len(report) == 9
+    diffs = [line for line in report if not line.startswith("BYTES-OK")]
+    assert not diffs, diffs
 
 
 def test_float_bev_matches_native():

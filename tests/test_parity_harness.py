@@ -23,10 +23,14 @@ def test_parity_harness_skips_gracefully_without_pcl():
     )
     # on a PCL machine this runs the full reference comparison; here it must
     # say why that tier is unavailable and fall back to the native-C++-oracle
-    # tier, whose artifact comparisons must all agree
+    # tier, whose artifact comparisons must all agree; with no working C++
+    # toolchain at all the fallback itself degrades to a loud skip (exit 0)
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "parity report" in r.stdout or (
-        "native-oracle tier report" in r.stdout and "0 diverging" in r.stdout
+    assert (
+        "parity report" in r.stdout
+        or ("native-oracle tier report" in r.stdout
+            and "0 diverging" in r.stdout)
+        or "nothing to compare" in r.stdout
     ), r.stdout[-2000:]
 
 
