@@ -265,6 +265,12 @@ def measure_registration_baseline(n_pairs: int = 5) -> dict:
         if best is None or out["ms_per_pair"] < best["ms_per_pair"]:
             best = out
     assert best["successes"] == best["n_pairs"], best
+    # the timing comparison is only fair if the baseline SOLVES the scene:
+    # its recovered transform must match the known (17°, (1.5, −2)) inside
+    # the north-star window, like the pctpu on-chip precision gate
+    assert abs(best["last_fine_yaw_deg"] - 17.0) < 0.5, best
+    assert abs(best["last_fine_tx"] - 1.5) < 0.1, best
+    assert abs(best["last_fine_ty"] + 2.0) < 0.1, best
     return best
 
 

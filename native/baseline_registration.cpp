@@ -539,6 +539,7 @@ int main(int argc, char** argv) {
   const IcpParams kFine{1.0f, 100, 1e-6, 0.01, false};
 
   double coarse_ms = 0, fine_ms = 0, last_fitness = 0;
+  Mat4 last_fine = Mat4::identity();
   int successes = 0;
   auto t_all0 = std::chrono::steady_clock::now();
   for (int pair = 0; pair < n_pairs; ++pair) {
@@ -578,15 +579,24 @@ int main(int argc, char** argv) {
     coarse_ms += std::chrono::duration<double, std::milli>(t1 - t0).count();
     fine_ms += std::chrono::duration<double, std::milli>(t2 - t1).count();
     last_fitness = fine.fitness;
+    last_fine = fine.transform;
     if (fine.fitness <= 1.5) ++successes;
   }
   auto t_all1 = std::chrono::steady_clock::now();
   double total_ms =
       std::chrono::duration<double, std::milli>(t_all1 - t_all0).count();
+  // accuracy vs the scene's KNOWN transform (yaw 17 deg, t = (1.5, -2)) —
+  // the timing comparison is only fair if the baseline also solves the
+  // problem correctly; bench.py asserts these stay inside the north-star
+  // window (<0.5 deg yaw)
+  double yaw_deg =
+      std::atan2(last_fine.m[1][0], last_fine.m[0][0]) * 180.0 / M_PI;
   std::printf(
       "{\"ms_per_pair\": %.3f, \"coarse_ms\": %.3f, \"fine_ms\": %.3f, "
-      "\"n_pairs\": %d, \"successes\": %d, \"last_fine_fitness\": %.6f}\n",
+      "\"n_pairs\": %d, \"successes\": %d, \"last_fine_fitness\": %.6f, "
+      "\"last_fine_yaw_deg\": %.6f, \"last_fine_tx\": %.6f, "
+      "\"last_fine_ty\": %.6f}\n",
       total_ms / n_pairs, coarse_ms / n_pairs, fine_ms / n_pairs, n_pairs,
-      successes, last_fitness);
+      successes, last_fitness, yaw_deg, last_fine.m[0][3], last_fine.m[1][3]);
   return 0;
 }
