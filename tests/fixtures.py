@@ -126,6 +126,38 @@ def make_oxford_tree(root: str, num_frames: int = 5, spacing_m: float = 3.0,
         )
 
 
+def _raycast_hits(ox, oy, yaw, d, buildings, z_ground, z_top, rng,
+                  h_sensor: float = 0.0):
+    """Cast sensor-frame direction array ``d`` (..., 3) from world pose
+    (ox, oy, yaw) against a flat ground plane + cylindrical buildings.
+    Returns (range, valid, is_wall) per ray, with small range noise."""
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    dw = d.copy()
+    dw[..., 0] = cy * d[..., 0] - sy * d[..., 1]
+    dw[..., 1] = sy * d[..., 0] + cy * d[..., 1]
+
+    dz = dw[..., 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_ground = np.where(dz < -1e-6, (z_ground - h_sensor) / dz, np.inf)
+    t_hit = t_ground
+    is_wall = np.zeros(t_hit.shape, bool)
+    for cx, cyd, radius in buildings:
+        a = dw[..., 0] ** 2 + dw[..., 1] ** 2
+        bq = 2.0 * ((ox - cx) * dw[..., 0] + (oy - cyd) * dw[..., 1])
+        c0 = (ox - cx) ** 2 + (oy - cyd) ** 2 - radius**2
+        disc = bq * bq - 4.0 * a * c0
+        with np.errstate(invalid="ignore"):
+            tw = (-bq - np.sqrt(np.maximum(disc, 0.0))) / (2.0 * a)
+        zw = tw * dz
+        ok = (disc > 0) & (tw > 0.5) & (zw >= z_ground) & (zw <= z_top)
+        closer = ok & (tw < t_hit)
+        t_hit = np.where(closer, tw, t_hit)
+        is_wall |= closer
+    t_hit = t_hit + rng.normal(0, 0.01, t_hit.shape)  # range noise
+    valid = np.isfinite(t_hit) & (t_hit < 90.0)
+    return t_hit, valid, is_wall
+
+
 def make_mulran_raycast_world(
     root: str,
     num_frames: int = 6,
@@ -204,31 +236,9 @@ def make_mulran_raycast_world(
     for i, stamp in enumerate(stamps):
         ox, oy, yaw = true_pose(float(i))
         poses.append((ox, oy, yaw))
-        cy, sy = np.cos(yaw), np.sin(yaw)
-        dw = d.copy()
-        dw[..., 0] = cy * d[..., 0] - sy * d[..., 1]
-        dw[..., 1] = sy * d[..., 0] + cy * d[..., 1]
-
-        dz = dw[..., 2]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t_ground = np.where(dz < -1e-6, (z_ground - h_sensor) / dz, np.inf)
-        t_hit = t_ground
-        is_wall = np.zeros(t_hit.shape, bool)
-        for cx, cyd, radius in buildings:
-            a = dw[..., 0] ** 2 + dw[..., 1] ** 2
-            bq = 2.0 * ((ox - cx) * dw[..., 0] + (oy - cyd) * dw[..., 1])
-            c0 = (ox - cx) ** 2 + (oy - cyd) ** 2 - radius**2
-            disc = bq * bq - 4.0 * a * c0
-            with np.errstate(invalid="ignore"):
-                tw = (-bq - np.sqrt(np.maximum(disc, 0.0))) / (2.0 * a)
-            zw = tw * dz
-            ok = (disc > 0) & (tw > 0.5) & (zw >= z_ground) & (zw <= z_top)
-            closer = ok & (tw < t_hit)
-            t_hit = np.where(closer, tw, t_hit)
-            is_wall |= closer
-        t_hit = t_hit + rng.normal(0, 0.01, t_hit.shape)  # range noise
-        valid = np.isfinite(t_hit) & (t_hit < 90.0)
-
+        t_hit, valid, is_wall = _raycast_hits(
+            ox, oy, yaw, d, buildings, z_ground, z_top, rng
+        )
         pts = d * np.where(valid, t_hit, 0.0)[..., None]  # SENSOR frame
         intensity = np.where(
             valid, np.where(is_wall, 0.7, 0.35) + rng.uniform(0, 0.2, t_hit.shape), 0.0
@@ -239,4 +249,104 @@ def make_mulran_raycast_world(
         scan.tofile(
             os.path.join(root, "sensor_data", "Ouster", f"{stamp:010d}.bin")
         )
+    return {"stamps": stamps, "poses": poses}
+
+
+def make_oxford_raycast_world(
+    root: str,
+    num_frames: int = 5,
+    n_cols: int = 176,
+    spacing_m: float = 2.2,
+    yaw_step_deg: float = 2.5,
+    seed: int = 3,
+):
+    """A geometrically consistent Oxford-layout drive, exercising every
+    convention quirk of that ingest path jointly
+    (/root/reference/OxfordPointCloudSelect.cpp):
+
+      * the .bin stores the RAW upside-down sensor frame in the transposed
+        all-x/all-y/all-z/all-i layout — the reader's x=-x, z=-z flip must
+        recover the vehicle frame or the ground-truth registration below
+        fails (the flip is a 180-degree rotation about y, so a missing flip
+        negates every relative yaw);
+      * rows come from elevation (the 32 HDL-32E ring angles +10.67 down by
+        1.3335 deg), cols from azimuth;
+      * ins.csv carries yaw in token 12 (the header-swapped order) and
+        position as (easting, northing, altitude) at realistic 6e5-magnitude
+        eastings (f32 pose quantization ~0.03 m, like real data).
+
+    Returns {"stamps": [...], "poses": [(x=easting, y=northing, yaw_rad)]}
+    (true ego poses; GT rows bracket the stamps for the interpolation path).
+    No-return rays are simply omitted (the Oxford layout is variable-N).
+    """
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "velodyne_left"), exist_ok=True)
+    os.makedirs(os.path.join(root, "gps"), exist_ok=True)
+
+    e0, n0 = 600000.0, 5735848.0  # realistic UTM-magnitude origin
+    buildings = []
+    for k in range(6):
+        az = np.radians(12.0 + 5.5 * k)
+        dist = 20.0 + 4.0 * k
+        buildings.append(
+            (e0 + dist * np.cos(az), n0 + dist * np.sin(az), 3.0)
+        )
+    z_ground, z_top = -1.9, 5.0
+
+    el = np.radians(10.67 - 1.3335 * np.arange(32))  # ring elevations
+    az = np.radians(np.arange(n_cols) * (360.0 / 1056.0))
+    d = np.stack(
+        [
+            np.cos(el)[None, :] * np.cos(az)[:, None],
+            np.cos(el)[None, :] * np.sin(az)[:, None],
+            np.broadcast_to(np.sin(el)[None, :], (n_cols, 32)),
+        ],
+        axis=-1,
+    )
+
+    t0 = 1_500_000_000
+    stamps = [t0 + i * 100_000 for i in range(num_frames)]
+    yaw_step = np.radians(yaw_step_deg)
+
+    # constant northing: at 5.7e6 the f32 pose ulp is 0.5 m, so a sub-metre
+    # lateral drift would be invisible in the keyframe csv anyway (the
+    # reference quantizes real Oxford northings identically)
+    def true_pose(u: float):
+        return (e0 + spacing_m * u, n0, yaw_step * u)
+
+    header = (
+        "timestamp,ins_status,latitude,longitude,altitude,northing,easting,"
+        "down,utm_zone,velocity_north,velocity_east,velocity_down,roll,pitch,yaw"
+    )
+    rows = [header]
+    for k in range(num_frames + 1):
+        t = t0 - 50_000 + k * 100_000
+        x, y, yaw = true_pose((t - t0) / 100_000.0)
+        # token 12 is yaw, 14 is roll (the reference's header-swapped read)
+        rows.append(
+            f"{t},INS_SOLUTION_GOOD,51.76,-1.26,0.0,{y:.6f},{x:.6f},"
+            f"0.0,30U,0.1,0.0,0.0,{yaw:.9f},0.0,0.0"
+        )
+    with open(os.path.join(root, "gps", "ins.csv"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+    with open(os.path.join(root, "velodyne_left.timestamps"), "w") as f:
+        f.write("\n".join(f"{s} 1" for s in stamps) + "\n")
+
+    poses = []
+    for i, stamp in enumerate(stamps):
+        ox, oy, yaw = true_pose(float(i))
+        poses.append((ox, oy, yaw))
+        t_hit, valid, is_wall = _raycast_hits(
+            ox, oy, yaw, d, buildings, z_ground, z_top, rng
+        )
+        # vehicle frame, hits only (zero out no-return rows before the
+        # multiply: inf ranges times zero direction components would NaN)
+        pts = (d * np.where(valid, t_hit, 0.0)[..., None])[valid]
+        inten = (np.where(is_wall, 0.7, 0.35)
+                 + rng.uniform(0, 0.2, t_hit.shape))[valid]
+        # store the RAW upside-down sensor frame, transposed layout
+        raw = np.concatenate(
+            [-pts[:, 0], pts[:, 1], -pts[:, 2], inten]
+        ).astype(np.float32)
+        raw.tofile(os.path.join(root, "velodyne_left", f"{stamp:010d}.bin"))
     return {"stamps": stamps, "poses": poses}

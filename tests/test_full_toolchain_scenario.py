@@ -156,6 +156,76 @@ def test_full_toolchain_scenario(scenario):
 
 
 @pytest.mark.slow
+def test_oxford_toolchain_scenario(tmp_path_factory):
+    """The Oxford ingest path on a consistent ray-cast drive: the transposed
+    upside-down .bin layout, elevation-derived rows, and the header-swapped
+    yaw token are validated JOINTLY by ground-truth registration — a missing
+    upside-down flip is a 180° rotation about y and would negate every
+    relative yaw; a wrong euler/token convention shifts the interpolated
+    poses.  (/root/reference/OxfordPointCloudSelect.cpp:146-267)"""
+    from tests.fixtures import make_oxford_raycast_world
+
+    from pctpu.io.pcd import read_pcd
+    from pctpu.io.poses import read_keyframe_poses
+    from pctpu.pipelines.multi_bev import run_multi_bev
+    from pctpu.pipelines.registration import run_batch_top_part_registration
+    from pctpu.pipelines.selectors import run_oxford_select
+
+    root = str(tmp_path_factory.mktemp("oxdrive"))
+    gt = make_oxford_raycast_world(root, num_frames=5)
+    n = run_oxford_select(root, 2.0)
+    assert n == 5  # easting ~6e5 is far from the origin sentinel
+    tree = os.path.join(root, "selected_keyframes_2.00m")
+    entries = read_keyframe_poses(os.path.join(tree, "keyframe_pose.csv"))
+    assert [src for src, _ in entries] == [0, 1, 2, 3, 4]
+    for src, pose in entries:
+        tx, ty, tyaw = gt["poses"][src]
+        # positions are f32 at UTM magnitude (ulp ~0.03 m at 6e5)
+        assert abs(pose.x - tx) < 0.08 and abs(pose.y - ty) < 0.08
+        assert abs(pose.yaw - tyaw) < 1e-5
+
+    out = run_multi_bev(tree, "HDL_32E", batch_size=2, write_pngs=False)
+    assert out.num_clouds == 5
+    ng, _ = read_pcd(os.path.join(tree, "non_ground_point_cloud", "000000.pcd"))
+    lab = ng["label"].astype(np.int32)
+    real = ng["intensity"] > 0.05
+    assert int(((lab == 0) & real).sum()) > 1500  # ground marking fired
+    assert int(((lab != 0) & real).sum()) > 800   # walls spared
+
+    pairs = [(2, 0), (3, 1)]
+    match_file = os.path.join(root, "match_result.txt")
+
+    def rel(qk, mk):
+        pq = _pose_mat(*gt["poses"][entries[qk][0]])
+        pm = _pose_mat(*gt["poses"][entries[mk][0]])
+        return np.linalg.inv(pm) @ pq
+
+    with open(match_file, "w") as f:
+        for qk, mk in pairs:
+            t_gt = rel(qk, mk)
+            guess = math.degrees(math.atan2(t_gt[1, 0], t_gt[0, 0])) + 2.0
+            f.write(f"{qk} {mk} {guess:.3f}\n")
+    reports = run_batch_top_part_registration(
+        match_file, os.path.join(tree, "non_ground_point_cloud"),
+        report_path=os.path.join(root, "icp_precision_report.txt"),
+        flat_cap=4096,
+    )
+    for (qk, mk), rep in zip(pairs, reports):
+        assert rep.success, f"pair {qk}->{mk}: fitness {rep.fitness_fine}"
+        t_gt = rel(qk, mk)
+        tf = rep.transform_fine
+        yaw_err = abs(
+            (math.degrees(
+                math.atan2(tf[1, 0], tf[0, 0])
+                - math.atan2(t_gt[1, 0], t_gt[0, 0])
+            ) + 180.0) % 360.0 - 180.0
+        )
+        t_err = float(np.hypot(tf[0, 3] - t_gt[0, 3], tf[1, 3] - t_gt[1, 3]))
+        assert yaw_err < 0.5, f"pair {qk}->{mk}: yaw error {yaw_err}°"
+        assert t_err < 0.30, f"pair {qk}->{mk}: translation error {t_err} m"
+
+
+@pytest.mark.slow
 def test_scenario_manip_and_pca_tools(scenario, tmp_path):
     """The remaining user-facing tools on the same drive: cloud_manip's
     transform+float-BEV against the native C++ oracle on the transformed
