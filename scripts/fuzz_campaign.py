@@ -507,7 +507,12 @@ def run_icp_sweep(start: int, target_asserted: int) -> int:
                     or ref_a["converged"] != ref_b["converged"]):
                 continue
             mses = [m for _, m, _ in ref_a["trace"] if np.isfinite(m)]
-            if any(abs(b - a) < 1e-7 * max(b, 1e-9)
+            # plateau filter margin: the f32 stack's MSE carries ~1 ulp
+            # (1.2e-7 relative) of rounding, so consecutive f64 MSEs closer
+            # than a few f32 ulps can round EQUAL in f32 and trip the 1e-12
+            # absolute exit one iteration early (first seen at fuzz seed
+            # 800479, oracle diff 4.3e-10 ≈ 2 ulps) — require ≥ 5e-7
+            if any(abs(b - a) < 5e-7 * max(b, 1e-9)
                    for a, b in zip(mses, mses[1:])):
                 continue
 
@@ -515,7 +520,11 @@ def run_icp_sweep(start: int, target_asserted: int) -> int:
                 res, trace, ref = run_both(src, tgt, guess, cfg,
                                            tgt_normals=nrm, normal_ok=ok)
                 atol = 1e-3 if mode == "point" else 3e-3
-                assert_traces_match(trace, ref, atol_t=atol, rtol_mse=atol)
+                # score-domain d² window of the NN kernel (see
+                # assert_traces_match docstring)
+                win = 8.0 * float(np.max(np.sum(tgt * tgt, axis=1))) * 2.0**-23
+                assert_traces_match(trace, ref, atol_t=atol, rtol_mse=atol,
+                                    atol_mse=win)
                 assert bool(res.converged) == ref["converged"]
                 if mode == "point":
                     np.testing.assert_allclose(

@@ -63,7 +63,13 @@ def run_both(src, tgt, guess, cfg: IcpConfig, tgt_normals=None, normal_ok=None):
     return res, {k: np.asarray(v) for k, v in trace.items()}, ref
 
 
-def assert_traces_match(trace, ref, atol_t=5e-4, rtol_mse=5e-4, check_mse=True):
+def assert_traces_match(trace, ref, atol_t=5e-4, rtol_mse=5e-4,
+                        check_mse=True, atol_mse=0.0):
+    """``atol_mse`` exists because the op's per-iteration MSE averages the NN
+    kernel's score-domain d² (|t|² − 2q·t + |q|², absolute error up to
+    ~8·max|p|²·2⁻²³) while the oracle's d² is exact — for scenes whose
+    converged MSE is small, a pure relative tolerance under-allows that
+    documented window (first seen at fuzz seed 800072)."""
     ref_steps = ref["trace"]
     L = len(ref_steps)
     done = np.asarray(trace["done"])
@@ -77,7 +83,7 @@ def assert_traces_match(trace, ref, atol_t=5e-4, rtol_mse=5e-4, check_mse=True):
         if check_mse and np.isfinite(mse_ref):
             np.testing.assert_allclose(
                 float(np.asarray(trace["mse"])[i]), mse_ref, rtol=rtol_mse,
-                err_msg=f"iteration {i} mse",
+                atol=atol_mse, err_msg=f"iteration {i} mse",
             )
 
 
@@ -325,3 +331,42 @@ def test_max_iterations_zero_do_while():
     # the single-iteration transform differs from the guess (one estimation)
     assert not np.allclose(np.asarray(res.transform), guess)
     assert_traces_match(trace, ref)
+
+
+def test_campaign_seed_800479_plateau_filter():
+    """Fuzz campaign seed 800479 (point mode): the oracle's it7→it8 MSE
+    plateau is 4.3e-10 ≈ 2 f32 ulps, so the f32 stack's consecutive MSEs can
+    round EQUAL and trip the 1e-12 absolute exit one iteration early — a
+    measurement knife edge, not a semantic bug.  The sweep's plateau filter
+    must catch it (margin ≥ 5e-7 relative, a few f32 ulps)."""
+    seed = 800479
+    yaw = 2.0 + (seed % 11) * 1.7
+    shift = (0.2 + 0.04 * (seed % 6), -0.25 + 0.09 * (seed % 4),
+             0.05 * (seed % 3))
+    src, tgt = scene(seed, yaw_deg=yaw, shift=shift)
+    ref = ref_impl.icp_ref(src, tgt, np.eye(4, dtype=np.float32), 4.0, 8,
+                           0.0, -np.inf)
+    mses = [m for _, m, _ in ref["trace"] if np.isfinite(m)]
+    assert any(abs(b - a) < 5e-7 * max(b, 1e-9)
+               for a, b in zip(mses, mses[1:])), (
+        "the knife-edge plateau disappeared — pin a different seed"
+    )
+
+
+def test_campaign_seed_800072_score_window():
+    """Fuzz campaign seed 800072 (plane mode): iteration-1 MSE differs from
+    the oracle by 9.2e-6 absolute — inside the NN kernel's documented
+    score-domain d² window (8·max|p|²·2⁻²³ ≈ 4.9e-5 here) but 8% over a pure
+    3e-3 relative tolerance at this scene's small MSE.  The trace assert
+    must allow the window as an absolute term."""
+    seed = 800072
+    yaw = 1.5 + (seed % 7) * 1.3
+    shift = (0.1 + 0.05 * (seed % 5), -0.15 + 0.07 * (seed % 4), 0.0)
+    src, tgt, nrm, ok = _plane_scene(seed, yaw, shift)
+    cfg = IcpConfig(max_correspondence_distance=10.0, max_iterations=4,
+                    point_to_plane=True)
+    res, trace, ref = run_both(src, tgt, np.eye(4, dtype=np.float32), cfg,
+                               tgt_normals=nrm, normal_ok=ok)
+    win = 8.0 * float(np.max(np.sum(tgt * tgt, axis=1))) * 2.0**-23
+    assert_traces_match(trace, ref, atol_t=3e-3, rtol_mse=3e-3, atol_mse=win)
+    assert bool(res.converged) == ref["converged"]
