@@ -28,8 +28,15 @@ BENCH_BATCHES = 6
 BASELINE_CLOUDS = 10
 
 
-def measure_baseline() -> float:
-    """Single-core C++ ms/cloud (same algorithm, per-point loops)."""
+def measure_baseline(full_span: bool = False) -> float:
+    """Single-core C++ ms/cloud (same algorithm, per-point loops).
+
+    ``full_span=True`` matches the reference's actual [TIME] bracket
+    (/root/reference/BatchMultiBevGen.cpp:731-749): the timed loop then also
+    performs the in-span artifact writes — layer-major .bin, per-cloud
+    mkdir, 24+1 PNGs (cv::imwrite-default encoder: SUB filter, zlib level 1,
+    Z_RLE), and the FMT_CSV.  ``full_span=False`` is the compute-only span
+    (stronger baseline — faster than the real reference)."""
     exe = os.path.join(REPO, "native", "baseline_bev")
     src = os.path.join(REPO, "native", "baseline_bev.cpp")
     stale = os.path.exists(src) and (
@@ -41,20 +48,29 @@ def measure_baseline() -> float:
         # must not exec a half-written binary
         tmp = f"{exe}.build.{os.getpid()}"
         subprocess.run(
-            ["g++", "-O2", "-std=c++14", "-o", tmp, src],
+            ["g++", "-O2", "-std=c++14", "-o", tmp, src, "-lz"],
             check=True,
             cwd=REPO,
         )
         os.replace(tmp, exe)
     # best of 3 to resist host-load noise (single shared CPU core)
+    import shutil
+    import tempfile
+
     best = float("inf")
     for _ in range(3):
-        out = subprocess.run(
-            [exe, str(BASELINE_CLOUDS), str(N_POINTS)],
-            check=True,
-            capture_output=True,
-            text=True,
-        ).stdout
+        argv = [exe, str(BASELINE_CLOUDS), str(N_POINTS)]
+        io_dir = None
+        if full_span:
+            io_dir = tempfile.mkdtemp(prefix="pctpu_baseline_span_")
+            argv.append(io_dir)
+        try:
+            out = subprocess.run(
+                argv, check=True, capture_output=True, text=True
+            ).stdout
+        finally:
+            if io_dir is not None:
+                shutil.rmtree(io_dir, ignore_errors=True)
         best = min(best, float(json.loads(out)["ms_per_cloud"]))
     return best
 
@@ -236,6 +252,73 @@ def measure_tpu(ordered: bool = True, sensor: str = "HDL_64E",
         assert checksum != 0
     dt_compute = max(dt - latency, 1e-6)
     return k_stack * reps * BATCH / dt_compute
+
+
+def measure_write_ms(n_clouds: int = 12) -> float:
+    """pctpu's per-cloud artifact-write cost (ms) for the full-span ratio.
+
+    Writes exactly the artifacts the reference's [TIME] bracket covers —
+    layer-major .bin + 24 layer PNGs + single PNG + FMT_CSV — through the
+    production writer path (pipelines/multi_bev._write_outputs semantics:
+    runtime/native_io.write_multi_bev / write_png + io/csvfmt.write_csv),
+    on real rasters from one preprocessed bench batch.  Matches the pipeline
+    convention (pipelines/multi_bev.py): full-span per-cloud =
+    device-compute average + this per-cloud write average."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    from pctpu.config import get_sensor_params
+    from pctpu.io.csvfmt import write_csv
+    from pctpu.ops.preprocess import preprocess_batch
+    from pctpu.runtime.native_io import write_multi_bev, write_png
+
+    params = get_sensor_params("HDL_64E")
+    n_points = min(N_POINTS, int(params.grid_size * 0.9))
+    cloud = synth_batch(params, BATCH, n_points, seed=3, ordered=True)
+    _, multi, single = jax.device_get(
+        jax.jit(
+            lambda b: preprocess_batch(b, params, assume_ordered=True)
+        )(cloud)
+    )
+    multi = np.asarray(multi)
+    single = np.asarray(single)
+    io_dir = tempfile.mkdtemp(prefix="pctpu_span_")
+    try:
+        for sub in ("binary", "image", "single_image", "single_csv"):
+            os.makedirs(os.path.join(io_dir, sub), exist_ok=True)
+        # warm one cloud (dlopen of libpctpu_io, page cache)
+        write_multi_bev(
+            os.path.join(io_dir, "binary", "warm.bin"),
+            os.path.join(io_dir, "image", "warm/"),
+            multi[0],
+        )
+        # best of 3 like measure_baseline: ext4 dirty-page writeback on the
+        # shared host throttles bursts unpredictably (up to ~4x)
+        best = float("inf")
+        for rep in range(3):
+            t0 = time.perf_counter()
+            for i in range(n_clouds):
+                b = i % BATCH
+                short = f"{rep}_{i:06d}"
+                write_multi_bev(
+                    os.path.join(io_dir, "binary", short + ".bin"),
+                    os.path.join(io_dir, "image", short + "/"),
+                    multi[b],
+                )
+                write_png(
+                    os.path.join(io_dir, "single_image", short + ".png"),
+                    single[b],
+                )
+                write_csv(
+                    os.path.join(io_dir, "single_csv", short + ".csv"),
+                    single[b],
+                )
+            best = min(best, time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(io_dir, ignore_errors=True)
+    return best * 1000.0 / n_clouds
 
 
 def measure_registration_baseline(n_pairs: int = 5) -> dict:
@@ -565,11 +648,19 @@ def main() -> int:
     details = "--details" in sys.argv
     baseline_ms = measure_baseline()
     baseline_cps = 1000.0 / baseline_ms
+    # span-matched baseline: the reference's real [TIME] bracket includes the
+    # per-cloud artifact writes (bin + 24+1 PNGs + csv); both sides get their
+    # write cost added for the full-span ratio (VERDICT r3 item 1)
+    baseline_span_ms = measure_baseline(full_span=True)
+    baseline_span_cps = 1000.0 / baseline_span_ms
     # headline: the tolerance-compat production path (the measured throughput
     # mode; <1 px BEV divergence — the north star's acceptance window,
     # BASELINE.json:5).  The bit-exact default mode is reported alongside.
     tol_cps = measure_tpu(ordered=True, compat="tolerance")
     exact_cps = measure_tpu(ordered=True, compat="bitexact")
+    write_ms = measure_write_ms()
+    tol_span_cps = 1000.0 / (1000.0 / tol_cps + write_ms)
+    exact_span_cps = 1000.0 / (1000.0 / exact_cps + write_ms)
     verify = verify_on_device()
     if details:
         general_cps = measure_tpu(ordered=False)
@@ -593,6 +684,21 @@ def main() -> int:
                     "os1_64_multibev_clouds_per_sec": round(os1_cps, 3),
                     "baseline_single_core_clouds_per_sec": round(baseline_cps, 3),
                     "baseline_ms_per_cloud": baseline_ms,
+                    "baseline_full_span_clouds_per_sec": round(
+                        baseline_span_cps, 3
+                    ),
+                    "baseline_full_span_ms_per_cloud": baseline_span_ms,
+                    "pctpu_bev_write_ms_per_cloud": round(write_ms, 3),
+                    "full_span_clouds_per_sec_tolerance": round(tol_span_cps, 3),
+                    "full_span_clouds_per_sec_bitexact": round(
+                        exact_span_cps, 3
+                    ),
+                    "vs_baseline_full_span": round(
+                        tol_span_cps / baseline_span_cps, 3
+                    ),
+                    "vs_baseline_full_span_bitexact": round(
+                        exact_span_cps / baseline_span_cps, 3
+                    ),
                     "registration_pairs_per_sec_65k": round(pairs_per_sec, 3),
                     "registration_stage_wall_ms_per_pair": reg_stages,
                     "registration_pairs_per_sec_65k_seed_nn": round(
@@ -624,6 +730,15 @@ def main() -> int:
                 "compat": "tolerance",
                 "bitexact_clouds_per_sec": round(exact_cps, 3),
                 "bitexact_vs_baseline": round(exact_cps / baseline_cps, 3),
+                # span-matched ratio: both sides include the reference's
+                # in-[TIME] artifact writes (bin + 24+1 PNGs + csv)
+                "full_span_clouds_per_sec": round(tol_span_cps, 3),
+                "baseline_full_span_clouds_per_sec": round(
+                    baseline_span_cps, 3
+                ),
+                "vs_baseline_full_span": round(
+                    tol_span_cps / baseline_span_cps, 3
+                ),
                 "verify": verify,
             }
         )

@@ -35,6 +35,114 @@ void put_chunk(std::vector<unsigned char>& out, const char tag[4],
   put_u32_be(out, crc);
 }
 
+// --- fast RLE deflate (fixed Huffman) ---------------------------------------
+//
+// BEV rasters are sparse (mostly-zero rows), so dist-1 run matching captures
+// nearly all the redundancy; zlib's hash-chain search and per-image
+// deflateInit are pure overhead for them.  This emits one BFINAL fixed-
+// Huffman block — a valid zlib stream (same container, ~5-30× faster to
+// encode than compress2 level 1 on these images; dense worst case expands to
+// 9 bits/byte, bounded below).
+
+struct BitWriter {
+  std::vector<unsigned char>& out;
+  uint32_t acc = 0;
+  int n = 0;
+  explicit BitWriter(std::vector<unsigned char>& o) : out(o) {}
+  inline void bits(uint32_t v, int nb) {  // deflate: LSB-first
+    acc |= v << n;
+    n += nb;
+    while (n >= 8) {
+      out.push_back(static_cast<unsigned char>(acc));
+      acc >>= 8;
+      n -= 8;
+    }
+  }
+  void flush() {
+    if (n) out.push_back(static_cast<unsigned char>(acc));
+    acc = 0;
+    n = 0;
+  }
+};
+
+struct Code {
+  uint32_t bits;
+  int n;
+};
+
+uint32_t bitrev(uint32_t c, int n) {
+  uint32_t r = 0;
+  for (int i = 0; i < n; ++i) r |= ((c >> i) & 1u) << (n - 1 - i);
+  return r;
+}
+
+struct RleTables {
+  Code lit[256];   // literal codes, pre-reversed for LSB-first emission
+  Code eob;        // end-of-block (symbol 256)
+  Code len[259];   // full length+extra+dist(1) emission for run length 3..258
+  RleTables() {
+    for (int v = 0; v < 256; ++v) {
+      if (v < 144)
+        lit[v] = {bitrev(0x30 + v, 8), 8};
+      else
+        lit[v] = {bitrev(0x190 + (v - 144), 9), 9};
+    }
+    eob = {0, 7};  // symbol 256: 7-bit code 0000000
+    // length symbol table (RFC1951 §3.2.5): base lengths + extra bit counts
+    static const int base[] = {3,  4,  5,  6,  7,  8,  9,  10, 11,  13,
+                               15, 17, 19, 23, 27, 31, 35, 43, 51,  59,
+                               67, 83, 99, 115, 131, 163, 195, 227, 258};
+    static const int extra[] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+                                2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0};
+    for (int l = 3; l <= 258; ++l) {
+      int s = 28;
+      while (base[s] > l) --s;
+      int sym = 257 + s;
+      Code huff = sym < 280 ? Code{bitrev(sym - 256, 7), 7}
+                            : Code{bitrev(0xC0 + (sym - 280), 8), 8};
+      uint32_t packed = huff.bits;
+      int n = huff.n;
+      packed |= static_cast<uint32_t>(l - base[s]) << n;  // extra, LSB-first
+      n += extra[s];
+      n += 5;  // distance 1: symbol 0, 5-bit code 00000 (zero bits)
+      len[l] = {packed, n};
+    }
+  }
+};
+
+void deflate_rle_fixed(const unsigned char* raw, size_t n,
+                       std::vector<unsigned char>& out) {
+  static const RleTables T;
+  out.push_back(0x78);  // zlib CMF: deflate, 32K window
+  out.push_back(0x01);  // FLG: check bits, no dict, fastest
+  out.reserve(out.size() + n * 9 / 8 + 16);
+  BitWriter bw(out);
+  bw.bits(1, 1);  // BFINAL
+  bw.bits(1, 2);  // BTYPE=01 (fixed Huffman)
+  size_t i = 0;
+  while (i < n) {
+    unsigned char b = raw[i];
+    bw.bits(T.lit[b].bits, T.lit[b].n);
+    ++i;
+    size_t run = 0;
+    while (i + run < n && raw[i + run] == b) ++run;
+    while (run >= 3) {
+      size_t l = run > 258 ? 258 : run;
+      bw.bits(T.len[l].bits, T.len[l].n);
+      i += l;
+      run -= l;
+    }
+    // leftover run < 3 re-enters the loop as literals
+  }
+  bw.bits(T.eob.bits, T.eob.n);
+  bw.flush();
+  uint32_t ad = adler32(adler32(0L, nullptr, 0), raw, static_cast<uInt>(n));
+  out.push_back((ad >> 24) & 0xff);
+  out.push_back((ad >> 16) & 0xff);
+  out.push_back((ad >> 8) & 0xff);
+  out.push_back(ad & 0xff);
+}
+
 bool encode_png(const uint8_t* img, int h, int w, int level,
                 std::vector<unsigned char>& out) {
   static const unsigned char sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
@@ -50,19 +158,27 @@ bool encode_png(const uint8_t* img, int h, int w, int level,
   ihdr[10] = ihdr[11] = ihdr[12] = 0;
   put_chunk(out, "IHDR", ihdr, 13);
 
-  // raw scanlines with filter byte 0
+  // raw scanlines with filter byte 0 (the filter byte is itself 0, so zero
+  // runs continue across row boundaries — ideal for the RLE encoder)
   std::vector<unsigned char> raw(static_cast<size_t>(h) * (w + 1));
   for (int r = 0; r < h; ++r) {
     raw[static_cast<size_t>(r) * (w + 1)] = 0;
     std::memcpy(&raw[static_cast<size_t>(r) * (w + 1) + 1], img + static_cast<size_t>(r) * w, w);
   }
-  uLongf bound = compressBound(static_cast<uLong>(raw.size()));
-  std::vector<unsigned char> comp(bound);
-  if (compress2(comp.data(), &bound, raw.data(), static_cast<uLong>(raw.size()),
-                level) != Z_OK) {
-    return false;
+  std::vector<unsigned char> comp;
+  if (level == 1) {
+    // fast path: hand-rolled RLE fixed-Huffman deflate (valid zlib stream)
+    deflate_rle_fixed(raw.data(), raw.size(), comp);
+  } else {
+    uLongf bound = compressBound(static_cast<uLong>(raw.size()));
+    comp.resize(bound);
+    if (compress2(comp.data(), &bound, raw.data(),
+                  static_cast<uLong>(raw.size()), level) != Z_OK) {
+      return false;
+    }
+    comp.resize(bound);
   }
-  put_chunk(out, "IDAT", comp.data(), bound);
+  put_chunk(out, "IDAT", comp.data(), comp.size());
   put_chunk(out, "IEND", nullptr, 0);
   return true;
 }
@@ -133,6 +249,38 @@ long pctpu_format_csv_f32(const float* data, int h, int w, int precision,
       }
     }
     if (h > 1) out[o++] = '\n';
+  }
+  return o;
+}
+
+// OpenCV FMT_CSV uint8 matrix formatting: "%3d" per value, ", " separators,
+// "\n" per row (none for single-row mats) — same byte format as the Python
+// path in pctpu/io/csvfmt.py.  LUT of pre-rendered 5-byte cells makes each
+// cell one 5-byte copy.  Returns bytes written, or -1 on overflow.
+long pctpu_format_csv_u8(const uint8_t* data, int h, int w,
+                         char* out, long out_cap) {
+  static char lut[256][6];  // 5 cell bytes + NUL
+  static bool lut_ready = false;
+  if (!lut_ready) {
+    for (int v = 0; v < 256; ++v) std::snprintf(lut[v], 6, "%3d, ", v);
+    lut_ready = true;
+  }
+  // the loop writes full 5-byte cells before trimming, so cap on the
+  // untrimmed size
+  if (static_cast<long>(h) * w * 5 > out_cap) return -1;
+  long o = 0;
+  for (int r = 0; r < h; ++r) {
+    const uint8_t* row = data + static_cast<long>(r) * w;
+    for (int c = 0; c < w; ++c) {
+      std::memcpy(out + o, lut[row[c]], 5);
+      o += 5;
+    }
+    if (h > 1) {
+      out[o - 2] = '\n';  // replace the trailing ", " with "\n"
+      --o;
+    } else {
+      o -= 2;  // single-row: no trailing separator, no newline
+    }
   }
   return o;
 }

@@ -70,6 +70,11 @@ def format_csv_bytes(mat: np.ndarray, float_precision: int = 4) -> bytes:
     if mat.ndim != 2:
         raise ValueError(f"expected a 2-D matrix, got shape {mat.shape}")
     if mat.dtype == np.uint8 and mat.size:
+        from pctpu.runtime.native_io import format_csv_u8
+
+        out = format_csv_u8(mat)
+        if out is not None:
+            return out
         return _format_u8_fast(mat)
     if mat.dtype == np.float32 and mat.size:
         from pctpu.runtime.native_io import format_csv_f32

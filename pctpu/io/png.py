@@ -20,6 +20,97 @@ from pctpu.ops.rounding import cv_saturate_u8
 
 _PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
+# --- RLE fixed-Huffman deflate (level-1 fast path) ---------------------------
+#
+# Mirrors native/pctpu_io.cpp::deflate_rle_fixed bit-for-bit so the Python
+# fallback stays byte-identical with the native writer (the module contract
+# tested by tests/test_native_io.py::test_python_fallbacks_match_native).
+# BEV rasters are mostly-zero, so dist-1 run matching in one BFINAL
+# fixed-Huffman block captures nearly all the redundancy.
+
+_RLE_TABLES = None
+
+
+def _rle_fixed_tables():
+    global _RLE_TABLES
+    if _RLE_TABLES is None:
+        def rev(c: int, n: int) -> int:
+            r = 0
+            for i in range(n):
+                r |= ((c >> i) & 1) << (n - 1 - i)
+            return r
+
+        lit = [
+            (rev(0x30 + v, 8), 8) if v < 144 else (rev(0x190 + v - 144, 9), 9)
+            for v in range(256)
+        ]
+        base = [3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31, 35,
+                43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258]
+        extra = [0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+                 4, 4, 4, 4, 5, 5, 5, 5, 0]
+        length = [None] * 259
+        for l in range(3, 259):
+            s = 28
+            while base[s] > l:
+                s -= 1
+            sym = 257 + s
+            if sym < 280:
+                code, n = rev(sym - 256, 7), 7
+            else:
+                code, n = rev(0xC0 + sym - 280, 8), 8
+            # huffman + extra bits (LSB-first) + 5 zero bits for distance
+            # symbol 0 (distance 1)
+            length[l] = (code | ((l - base[s]) << n), n + extra[s] + 5)
+        _RLE_TABLES = (lit, length)
+    return _RLE_TABLES
+
+
+def _deflate_rle_fixed(raw: bytes) -> bytes:
+    """Valid zlib stream: one BFINAL fixed-Huffman block, literals +
+    distance-1 runs only (byte-identical to the native encoder)."""
+    lit, length = _rle_fixed_tables()
+    a = np.frombuffer(raw, np.uint8)
+    n_total = len(a)
+    out = bytearray(b"\x78\x01")  # CMF/FLG as the native encoder writes them
+    acc, n = 3, 3  # BFINAL=1 then BTYPE=01, LSB-first
+    if n_total:
+        change = np.flatnonzero(a[1:] != a[:-1]) + 1
+        starts = np.concatenate(([0], change)).tolist()
+        ends = np.concatenate((change, [n_total])).tolist()
+        for s, e in zip(starts, ends):
+            lb, ln = lit[a[s]]
+            acc |= lb << n
+            n += ln
+            rem = e - s - 1
+            while rem >= 3:
+                l = 258 if rem > 258 else rem
+                pb, pn = length[l]
+                acc |= pb << n
+                n += pn
+                rem -= l
+            for _ in range(rem):
+                acc |= lb << n
+                n += ln
+            while n >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                n -= 8
+    n += 7  # end-of-block: symbol 256 = 7 zero bits
+    while n >= 8:
+        out.append(acc & 0xFF)
+        acc >>= 8
+        n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    out += struct.pack(">I", zlib.adler32(raw) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def _compress_idat(raw: bytes, level: int) -> bytes:
+    if level == 1:
+        return _deflate_rle_fixed(raw)
+    return zlib.compress(raw, level)
+
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
     return (
@@ -45,7 +136,7 @@ def encode_gray_png(img: np.ndarray, compress_level: int = 6) -> bytes:
     raw = np.empty((h, w + 1), np.uint8)
     raw[:, 0] = 0  # filter type 0 (None) per scanline
     raw[:, 1:] = img
-    idat = zlib.compress(raw.tobytes(), compress_level)
+    idat = _compress_idat(raw.tobytes(), compress_level)
     return _PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -67,7 +158,7 @@ def encode_rgb_png(img: np.ndarray, compress_level: int = 6) -> bytes:
     raw = np.empty((h, 1 + w * 3), np.uint8)
     raw[:, 0] = 0  # filter type 0 (None) per scanline
     raw[:, 1:] = img.reshape(h, w * 3)
-    idat = zlib.compress(raw.tobytes(), compress_level)
+    idat = _compress_idat(raw.tobytes(), compress_level)
     return _PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 

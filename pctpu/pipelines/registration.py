@@ -253,7 +253,7 @@ def register_pairs(
     return _pair_results(len(pairs), c1, c2, best, cfg, timer)
 
 
-def _pair_results(n, c1, c2, best, cfg, timer):
+def _pair_results(n, c1, c2, best, cfg, timer, spec=None):
     """Coarse winners → per-pair (best coarse, fine-or-None) numpy tuples —
     the optional-refinement tail shared by ``register_pairs`` and the
     pipelined stream's fine half."""
@@ -261,7 +261,7 @@ def _pair_results(n, c1, c2, best, cfg, timer):
         return [
             (jax.tree.map(lambda a: a[i], best), None) for i in range(n)
         ]
-    fine = _fine_stage_batched(c1, c2, best, cfg, timer)
+    fine = _fine_stage_batched(c1, c2, best, cfg, timer, spec=spec)
     return [
         (jax.tree.map(lambda x: x[i], best), jax.tree.map(lambda x: x[i], fine))
         for i in range(n)
@@ -285,9 +285,48 @@ def _shard_pair_batch(mesh, n, c1, c2, guesses):
     return c1, c2, jax.device_put(guesses, sharding)
 
 
-def _coarse_stage_batched(pairs, cfg, flat_cap, timer, mesh):
+class BucketSpec:
+    """Cross-batch capacity-bucket predictor for speculative dispatch.
+
+    The bucket for each stage depends on on-device counts (post-voxel point
+    counts), so picking it requires a host↔device stat roundtrip (~28 ms in
+    this tunneled env) during which the device sits idle before the
+    dependent stage can even be enqueued.  Scene statistics are stable
+    across consecutive batches, so the previous batch's bucket almost always
+    predicts the next one: with a prediction the stage is dispatched
+    IMMEDIATELY at the predicted bucket (device stays busy), the stats fetch
+    resolves in parallel, and only a mispredict pays a second dispatch at
+    the correct bucket.  Results are bit-identical to the non-speculative
+    path in all cases — speculative results are kept only when the
+    predicted bucket EQUALS the one the stats dictate (a merely-sufficient
+    larger bucket would change f32 reduction shapes, docs/PARITY.md
+    "capacity padding vs f32 reduction shape")."""
+
+    __slots__ = ("coarse", "fine", "hits", "misses")
+
+    def __init__(self):
+        self.coarse: int | None = None
+        self.fine: int | None = None
+        self.hits = 0
+        self.misses = 0
+
+    def record(self, predicted: int | None, actual: int) -> bool:
+        """True when the speculative dispatch can be kept."""
+        if predicted == actual:
+            self.hits += 1
+            return True
+        if predicted is not None:
+            self.misses += 1
+        return False
+
+
+def _coarse_stage_batched(pairs, cfg, flat_cap, timer, mesh, spec=None):
     """Stack + flat prep + both coarse ICPs for one pair batch (the
-    reference's 1st-stage span).  Returns (c1, c2, best-as-numpy)."""
+    reference's 1st-stage span).  Returns (c1, c2, best-as-numpy).
+
+    With ``spec`` (a :class:`BucketSpec`), the coarse ICP is dispatched
+    speculatively at the previous batch's bucket before the stat fetch
+    resolves; see BucketSpec for the exactness argument."""
     c1 = _stack_pairs([p[0] for p in pairs])
     c2 = _stack_pairs([p[1] for p in pairs])
     guesses = jnp.asarray(np.stack([_guess_pair_np(p[2]) for p in pairs]))
@@ -301,49 +340,72 @@ def _coarse_stage_batched(pairs, cfg, flat_cap, timer, mesh):
         )(c1, c2)
         # one fetch per stage boundary: [max src count, max tgt count, chk,
         # max raw top-part count]
-        stats = np.asarray(
-            jnp.stack([
-                jnp.max(s[2]).astype(jnp.float32),
-                jnp.max(t[2]).astype(jnp.float32),
-                jnp.sum(chk),
-                jnp.max(nk_raw).astype(jnp.float32),
-            ])
-        )
+        stats_dev = jnp.stack([
+            jnp.max(s[2]).astype(jnp.float32),
+            jnp.max(t[2]).astype(jnp.float32),
+            jnp.sum(chk),
+            jnp.max(nk_raw).astype(jnp.float32),
+        ])
+
+        def run_coarse(bucket):
+            return jax.vmap(
+                lambda sx, sm, tx, tm, g: _stage_coarse(
+                    sx, sm, tx, tm, g, cfg, bucket
+                )
+            )(s[0], s[1], t[0], t[1], guesses)
+
+        predicted = spec.coarse if spec is not None else None
+        best = run_coarse(predicted) if predicted is not None else None
+        stats = np.asarray(stats_dev)
         _warn_flat_cap(int(stats[3]), flat_cap)
         bucket = _pow2_bucket(int(max(stats[0], stats[1])), flat_cap)
-        best = jax.vmap(
-            lambda sx, sm, tx, tm, g: _stage_coarse(sx, sm, tx, tm, g, cfg, bucket)
-        )(s[0], s[1], t[0], t[1], guesses)
+        if spec is not None:
+            spec.coarse = bucket
+        if spec is None or not spec.record(predicted, bucket):
+            best = run_coarse(bucket)
         best = jax.tree.map(np.asarray, jax.device_get(best))
     return c1, c2, best
 
 
-def _fine_stage_batched(c1, c2, best, cfg, timer):
+def _fine_stage_batched(c1, c2, best, cfg, timer, spec=None):
     """Full-cloud voxel + fine ICP for one pair batch (2nd-stage span),
     warm-started from the coarse winners."""
-    return _fine_stage_common(c1, c2, jnp.asarray(best.transform), cfg, timer)
+    return _fine_stage_common(
+        c1, c2, jnp.asarray(best.transform), cfg, timer, spec=spec
+    )
 
 
-def _fine_stage_common(c1, c2, guesses, cfg, timer):
+def _fine_stage_common(c1, c2, guesses, cfg, timer, spec=None):
     """Vmapped full-cloud voxel + stats fetch + bucketed fine ICP — shared by
     the top-part fine stage (guesses = coarse transforms) and the
-    whole-cloud ablation (guesses = raw yaw rotations)."""
+    whole-cloud ablation (guesses = raw yaw rotations).  ``spec`` enables
+    speculative dispatch at the previous batch's fine bucket (BucketSpec)."""
     n = int(guesses.shape[0])
     with timer.stage("fine", items=n):
         a, b, chk2 = jax.vmap(
             lambda x, y: _stage_voxel_full(x, y, cfg.voxel_leaf)
         )(c1, c2)
-        stats2 = np.asarray(
-            jnp.stack([
-                jnp.max(a[2]).astype(jnp.float32),
-                jnp.max(b[2]).astype(jnp.float32),
-                jnp.sum(chk2),
-            ])
-        )
+        stats2_dev = jnp.stack([
+            jnp.max(a[2]).astype(jnp.float32),
+            jnp.max(b[2]).astype(jnp.float32),
+            jnp.sum(chk2),
+        ])
+
+        def run_fine(fbucket):
+            return jax.vmap(
+                lambda sx, sm, tx, tm, g: _stage_fine(
+                    sx, sm, tx, tm, g, cfg, fbucket
+                )
+            )(a[0], a[1], b[0], b[1], guesses)
+
+        predicted = spec.fine if spec is not None else None
+        fine = run_fine(predicted) if predicted is not None else None
+        stats2 = np.asarray(stats2_dev)
         fbucket = _fine_bucket(int(max(stats2[0], stats2[1])), c1.capacity)
-        fine = jax.vmap(
-            lambda sx, sm, tx, tm, g: _stage_fine(sx, sm, tx, tm, g, cfg, fbucket)
-        )(a[0], a[1], b[0], b[1], guesses)
+        if spec is not None:
+            spec.fine = fbucket
+        if spec is None or not spec.record(predicted, fbucket):
+            fine = run_fine(fbucket)
         fine = jax.tree.map(np.asarray, jax.device_get(fine))
     return fine
 
@@ -364,22 +426,33 @@ def register_pairs_pipelined(
     stages of CONSECUTIVE batches overlap (the per-pair loop
     /root/reference/BatchTopPartRegistration.cpp:356-532 is fully serial), so
     pair loading, host work, and dispatch latency hide behind device compute.
-    Per-batch results are identical to ``register_pairs`` (same programs,
-    same buckets — only the wall-clock interleaving changes).
+    Each stage additionally dispatches speculatively at the previous batch's
+    capacity bucket (:class:`BucketSpec`) so the device isn't left idle
+    during the bucket-stat roundtrip; a mispredict re-dispatches at the
+    correct bucket.  Per-batch results are identical to ``register_pairs``
+    (same programs, same buckets — only the wall-clock interleaving
+    changes).
 
     Yields one result list per batch, in order.
     """
     import concurrent.futures
 
     timer = timer or StageTimer()
+    # One BucketSpec across the stream: each stage speculatively dispatches
+    # at the previous batch's bucket so the device never idles waiting on
+    # the bucket-stat roundtrip (coarse halves all run on the worker thread,
+    # fine halves on the caller's — each field has a single writer).
+    spec = BucketSpec()
 
     def coarse_half(loader):
         pairs = loader()
-        c1, c2, best = _coarse_stage_batched(pairs, cfg, flat_cap, timer, mesh)
+        c1, c2, best = _coarse_stage_batched(
+            pairs, cfg, flat_cap, timer, mesh, spec=spec
+        )
         return len(pairs), c1, c2, best
 
     def fine_half(n, c1, c2, best):
-        return _pair_results(n, c1, c2, best, cfg, timer)
+        return _pair_results(n, c1, c2, best, cfg, timer, spec=spec)
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
         fut = None

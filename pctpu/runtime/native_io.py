@@ -64,6 +64,11 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_void_p, ctypes.c_long,
             ]
             lib.pctpu_format_csv_f32.restype = ctypes.c_long
+            lib.pctpu_format_csv_u8.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_long,
+            ]
+            lib.pctpu_format_csv_u8.restype = ctypes.c_long
             _lib = lib
         except Exception:
             _lib = None
@@ -140,6 +145,23 @@ def format_csv_f32(mat: np.ndarray, precision: int) -> bytes | None:
     n = lib.pctpu_format_csv_f32(
         mat.ctypes.data, h, w, precision, out.ctypes.data, cap
     )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def format_csv_u8(mat: np.ndarray) -> bytes | None:
+    """Native OpenCV-FMT_CSV uint8 formatting ("%3d", ", ", row "\\n").
+    Returns None when the library is unavailable (caller falls back to the
+    byte-identical numpy LUT path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    mat = np.ascontiguousarray(mat, np.uint8)
+    h, w = mat.shape
+    cap = h * w * 5
+    out = np.empty(cap, np.uint8)
+    n = lib.pctpu_format_csv_u8(mat.ctypes.data, h, w, out.ctypes.data, cap)
     if n < 0:
         return None
     return out[:n].tobytes()

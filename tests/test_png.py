@@ -47,3 +47,55 @@ def test_float_png_matches_opencv_saturate_fallback(tmp_path):
     ours = decode_gray_png(encode_gray_png(m))
     assert np.array_equal(ours, ref)
     assert np.array_equal(ours, cv_saturate_u8(m))
+
+
+def test_rle_deflate_level1_round_trip_and_boundaries():
+    """The level-1 RLE fixed-Huffman encoder (pctpu/io/png.py
+    _deflate_rle_fixed) produces valid streams across adversarial run
+    shapes: runs straddling the 3/258/259/260 length boundaries, all-zero,
+    dense noise, and single-pixel images."""
+    import zlib
+
+    from pctpu.io.png import _deflate_rle_fixed
+
+    rng = np.random.default_rng(7)
+    cases = [
+        np.zeros((1, 1), np.uint8),
+        np.zeros((224, 224), np.uint8),
+        np.full((3, 7), 255, np.uint8),
+        rng.integers(0, 256, (64, 64), np.uint8),  # dense worst case
+    ]
+    # exact run-length boundaries: L identical bytes then a breaker
+    for L in (1, 2, 3, 4, 257, 258, 259, 260, 516, 517, 520):
+        row = np.zeros(L + 1, np.uint8)
+        row[-1] = 9
+        cases.append(row[None, :])
+    for img in cases:
+        data = encode_gray_png(img, compress_level=1)
+        assert np.array_equal(decode_gray_png(data), img)
+        decoded = cv2.imdecode(np.frombuffer(data, np.uint8),
+                               cv2.IMREAD_UNCHANGED)
+        assert np.array_equal(decoded.reshape(img.shape), img)
+
+
+def test_rle_deflate_matches_native_bytes():
+    """Python level-1 encoder is byte-identical to the native one
+    (native/pctpu_io.cpp deflate_rle_fixed) on adversarial patterns."""
+    import pctpu.runtime.native_io as nio
+
+    if not nio.native_available():
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(11)
+    cases = [
+        np.zeros((17, 31), np.uint8),
+        rng.integers(0, 256, (33, 29), np.uint8),
+        np.repeat(rng.integers(0, 256, 40, np.uint8), 13)[: 37 * 14]
+        .reshape(37, 14),
+    ]
+    for idx, img in enumerate(cases):
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as d:
+            nio.write_png(os.path.join(d, "n.png"), img)
+            native = open(os.path.join(d, "n.png"), "rb").read()
+        assert native == encode_gray_png(img, compress_level=1), idx

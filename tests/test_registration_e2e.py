@@ -324,6 +324,69 @@ def test_register_pairs_pipelined_matches_plain():
 
 
 @pytest.mark.slow
+def test_pipelined_speculation_mispredict_matches_plain(monkeypatch):
+    """Speculative bucket dispatch (BucketSpec) under a forced mispredict:
+    batch 2's clouds land in different coarse AND fine buckets than batch
+    1's, so the speculative dispatches must be discarded and re-run at the
+    correct bucket — per-batch results stay exactly register_pairs'.  A
+    third batch repeating batch 2's shapes then hits."""
+    import pctpu.pipelines.registration as regmod
+    from pctpu.pipelines.registration import (
+        register_pairs,
+        register_pairs_pipelined,
+    )
+
+    captured = {}
+    orig_spec = regmod.BucketSpec
+
+    class CaptureSpec(orig_spec):
+        def __init__(self):
+            super().__init__()
+            captured["spec"] = self
+
+    monkeypatch.setattr(regmod, "BucketSpec", CaptureSpec)
+
+    rng = np.random.default_rng(21)
+    xyz_s, lab_s = synth_scene(rng, n_clusters=3)
+    xyz_l, lab_l = synth_scene(rng, n_clusters=12)
+    small_1 = make_cloud(xyz_s, label=lab_s, capacity=4096)
+    small_2 = make_cloud(rigid(xyz_s, 8.0, [0.4, -0.3, 0.0]),
+                         label=lab_s, capacity=4096)
+    # 4x-duplicated large scene → different coarse pow2 bucket and (with the
+    # bigger capacity) different fine bucket than the small batch
+    xyz_big = np.concatenate(
+        [xyz_l + np.array([dx, dy, 0], np.float32)
+         for dx, dy in ((0, 0), (140, 0), (0, 140), (140, 140))]
+    )
+    lab_big = np.concatenate([lab_l] * 4)
+    big_1 = make_cloud(xyz_big, label=lab_big, capacity=16384)
+    big_2 = make_cloud(rigid(xyz_big, -12.0, [0.7, 0.6, 0.0]),
+                       label=lab_big, capacity=16384)
+    batches = [
+        [(small_1, small_2, 8.0)],
+        [(big_1, big_2, -12.0)],
+        [(big_2, big_1, 12.0)],
+    ]
+    cfg = RegistrationConfig()
+    plain = [register_pairs(b, cfg, flat_cap=8192) for b in batches]
+    piped = list(register_pairs_pipelined(
+        iter([lambda b=b: b for b in batches]), cfg, flat_cap=8192))
+    assert len(piped) == len(plain)
+    for pb, qb in zip(plain, piped):
+        for (b1, f1), (b2, f2) in zip(pb, qb):
+            np.testing.assert_array_equal(np.asarray(b1.transform),
+                                          np.asarray(b2.transform))
+            np.testing.assert_array_equal(np.asarray(f1.transform),
+                                          np.asarray(f2.transform))
+            assert float(f1.fitness) == float(f2.fitness)
+    spec = captured["spec"]
+    # batch 1 → no prediction; batch 2 → both stages mispredict; batch 3 →
+    # both stages hit (same shapes as batch 2)
+    assert spec.misses >= 1, (spec.hits, spec.misses)
+    assert spec.hits >= 1, (spec.hits, spec.misses)
+
+
+@pytest.mark.slow
 def test_pipelined_driver_propagates_loader_errors(tmp_path):
     """A missing PCD in a later chunk must raise cleanly out of the
     pipelined driver (the worker-thread exception propagates via the
