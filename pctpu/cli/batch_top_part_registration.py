@@ -13,7 +13,8 @@ def main(argv=None) -> int:
     if len(pos) < 2:
         usage_exit(
             "Usage: batch_top_part_registration <match_result.txt> <point_cloud_dir>\n"
-            "Extensions: --pair-batch=N (vmapped pair batching)  --devices=N\n"
+            "Extensions: --pair-batch=N (vmapped pair batching; default 16\n"
+            "            on TPU, 1 elsewhere)  --devices=N\n"
             "            (data-parallel mesh)  --capacity=N  --flat-cap=N\n"
             "            --seed-nn=true (warm-start NN throughput mode)\n"
             "            --report=PATH  --resume (skip pairs already in\n"
@@ -40,7 +41,7 @@ def main(argv=None) -> int:
         report_path=kw.get("report", "./icp_precision_report.txt"),
         flat_cap=int_kw(kw, "flat_cap", 32768),
         capacity=int_kw(kw, "capacity", None),
-        pair_batch=int_kw(kw, "pair_batch", 1),
+        pair_batch=int_kw(kw, "pair_batch", None),
         devices=int_kw(kw, "devices", None),
         process_id=pid,
         num_processes=nproc,

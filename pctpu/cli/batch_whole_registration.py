@@ -28,7 +28,7 @@ def main(argv=None) -> int:
         pos[1],
         report_path=kw.get("report", "./icp_precision_report_3d_icp_directly.txt"),
         capacity=int_kw(kw, "capacity", None),
-        pair_batch=int_kw(kw, "pair_batch", 1),
+        pair_batch=int_kw(kw, "pair_batch", None),
         devices=int_kw(kw, "devices", None),
         process_id=pid,
         num_processes=nproc,

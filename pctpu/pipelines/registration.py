@@ -591,6 +591,19 @@ def _load_pair_chunk(chunk, point_cloud_dir: str, capacity: int | None,
     return pairs
 
 
+def default_pair_batch() -> int:
+    """Backend-aware ``pair_batch`` default: 16 on TPU (the benched vmapped
+    pipeline — the sequential path leaves the device >90% idle behind the
+    ~28 ms dispatch roundtrips, docs/PERFORMANCE.md), 1 elsewhere (CPU pays
+    real compute per padded pair, so batching only helps hardware that runs
+    the vmap in parallel).  Results are pair_batch-invariant up to the
+    shared-capacity padding equivalence documented in ``_auto_capacity``
+    (all pairs pad to one capacity either way, so reduction shapes — and
+    therefore reports — match the sequential run bit-for-bit; tested by the
+    seq-vs-batched e2e equivalence tests)."""
+    return 16 if jax.default_backend() == "tpu" else 1
+
+
 def _prepare_batch_driver(match_results_filename, point_cloud_dir, report_path,
                           capacity, pair_batch, devices, process_id,
                           num_processes, resume):
@@ -600,10 +613,15 @@ def _prepare_batch_driver(match_results_filename, point_cloud_dir, report_path,
     like the run it continues, and the sequential path compiles its stage
     programs once instead of once per distinct cloud size), filter resumed
     pairs, and build the optional data-parallel mesh (rounding pair_batch up
-    to a multiple of the device count).
+    to a multiple of the device count).  ``pair_batch=None`` resolves via
+    :func:`default_pair_batch`.
 
     Returns (matches, report_path, report_mode, capacity, pair_batch, mesh).
     """
+    if pair_batch is None:
+        pair_batch = default_pair_batch()
+        log.info(f"pair_batch auto-selected for {jax.default_backend()}: "
+                 f"{pair_batch}")
     matches = load_match_results(match_results_filename)
     from pctpu.parallel.distributed import process_shard
 
@@ -719,7 +737,7 @@ def run_batch_top_part_registration(
     report_path: str = "./icp_precision_report.txt",
     capacity: int | None = None,
     flat_cap: int = 32768,
-    pair_batch: int = 1,
+    pair_batch: int | None = None,
     devices: int | None = None,
     process_id: int | None = None,
     num_processes: int | None = None,
@@ -728,7 +746,8 @@ def run_batch_top_part_registration(
     """The batch evaluator.  Returns per-pair reports; writes the precision
     report and prints the reference-style summary.
 
-    ``pair_batch > 1`` runs that many pairs as one vmapped device dispatch;
+    ``pair_batch > 1`` runs that many pairs as one vmapped device dispatch
+    (default: :func:`default_pair_batch` — 16 on TPU, 1 elsewhere);
     ``devices=N`` additionally shards the pair axis over an N-way
     data-parallel mesh (pair_batch must be a multiple of N).  When
     ``capacity`` is None a shared one is derived from the PCD headers of the
@@ -858,7 +877,7 @@ def run_batch_whole_registration(
     cfg: RegistrationConfig | None = None,
     report_path: str = "./icp_precision_report_3d_icp_directly.txt",
     capacity: int | None = None,
-    pair_batch: int = 1,
+    pair_batch: int | None = None,
     devices: int | None = None,
     process_id: int | None = None,
     num_processes: int | None = None,
@@ -874,7 +893,8 @@ def run_batch_whole_registration(
     returned/printed counts cover only this invocation's pairs.
 
     ``pair_batch > 1`` runs that many pairs as one vmapped device dispatch
-    (shared capacity auto-derived from the full match list's PCD headers
+    (default: :func:`default_pair_batch` — 16 on TPU, 1 elsewhere; shared
+    capacity auto-derived from the full match list's PCD headers
     when not given, like ``run_batch_top_part_registration``);
     ``devices=N`` shards the pair axis over an N-way data-parallel mesh —
     the same plumbing as ``run_batch_top_part_registration``.

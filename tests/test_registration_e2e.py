@@ -183,6 +183,67 @@ def test_pair_batched_driver_matches_sequential(tmp_path):
             np.testing.assert_allclose(a.transform_fine, b.transform_fine, atol=2e-3)
 
 
+def test_default_pair_batch_is_backend_aware(monkeypatch):
+    """pair_batch=None resolves to 16 on TPU (the benched vmapped pipeline)
+    and 1 elsewhere, so the reference argv contract gets the fast path on
+    the hardware it helps (VERDICT r3 item 5)."""
+    import pctpu.pipelines.registration as regmod
+
+    monkeypatch.setattr(regmod.jax, "default_backend", lambda: "tpu")
+    assert regmod.default_pair_batch() == 16
+    monkeypatch.setattr(regmod.jax, "default_backend", lambda: "cpu")
+    assert regmod.default_pair_batch() == 1
+
+
+@pytest.mark.slow
+def test_auto_pair_batch_reports_match_sequential(tmp_path, monkeypatch):
+    """pair_batch=None routed to the batched pipeline (as on TPU) writes a
+    byte-identical report to the explicit sequential run — the padding
+    equivalence that makes the TPU-smart default safe."""
+    import pctpu.pipelines.registration as regmod
+    from pctpu.io.pcd import write_pcd
+
+    rng = np.random.default_rng(13)
+    xyz, labels = synth_scene(rng)
+    xyz2 = rigid(xyz, 9.0, [0.8, -0.6, 0.0]).astype(np.float32)
+    xyz3 = rigid(xyz, -17.0, [-0.4, 1.1, 0.0]).astype(np.float32)
+    cloud_dir = tmp_path / "clouds"
+    os.makedirs(cloud_dir)
+
+    def dump(idx, pts, labs):
+        n = len(pts)
+        write_pcd(
+            str(cloud_dir / f"{idx:06d}.pcd"),
+            {
+                "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+                "intensity": np.ones(n, np.float32),
+                "row": np.zeros(n, np.uint16), "col": np.zeros(n, np.uint16),
+                "t": np.zeros(n, np.uint32), "label": labs.astype(np.int16),
+            },
+        )
+
+    dump(0, xyz, labels)
+    dump(1, xyz2, labels)
+    dump(2, xyz3, labels)
+    match_file = tmp_path / "match_result.txt"
+    match_file.write_text("0 1 9.0\n0 2 -17.0\n2 1 26.0\n")
+
+    seq = run_batch_top_part_registration(
+        str(match_file), str(cloud_dir), report_path=str(tmp_path / "r1.txt"),
+        flat_cap=4096, pair_batch=1,
+    )
+    # route the None default to the batched pipeline, as the TPU default does
+    monkeypatch.setattr(regmod, "default_pair_batch", lambda: 2)
+    auto = run_batch_top_part_registration(
+        str(match_file), str(cloud_dir), report_path=str(tmp_path / "r2.txt"),
+        flat_cap=4096, pair_batch=None,
+    )
+    assert (tmp_path / "r1.txt").read_bytes() == (tmp_path / "r2.txt").read_bytes()
+    assert [r.success for r in seq] == [r.success for r in auto]
+    for a, b in zip(seq, auto):
+        np.testing.assert_array_equal(a.transform_fine, b.transform_fine)
+
+
 @pytest.mark.slow
 def test_registration_precision_sweep():
     """North-star fidelity evidence: across many synthetic scenes with known
