@@ -83,6 +83,35 @@ def arrays_grid_ordered(arrays: dict, params: SensorParams) -> bool:
     )
 
 
+def compact_last_wins(data: dict, n: int, params: SensorParams) -> tuple[dict, int]:
+    """Host-side pre-reduction for clouds LARGER than the pipeline's fixed
+    grid capacity: keep only each grid cell's last-wins winner, in input
+    order.
+
+    ``getOrderedCloud`` (/root/reference/BatchMultiBevGen.cpp:94-117) retains
+    at most one point per cell — the last in input order — and drops
+    out-of-bounds points, so for any raw cloud, ordering(winners) ==
+    ordering(raw) exactly: the compacted cloud (≤ grid_size points) routes
+    through the same on-device ordering kernel and reproduces the
+    reference's single-pass result bit-for-bit, where naive truncation to
+    capacity would lose late-arriving winners.  ``data`` is a pcd field dict
+    (1-D arrays, ≥ n long); returns (compacted field dict, winner count).
+    """
+    rows = np.asarray(data["row"][:n], np.int64)
+    cols = np.asarray(data["col"][:n], np.int64)
+    ib = (
+        (rows >= 0) & (rows < params.n_scan)
+        & (cols >= 0) & (cols < params.horizon_scan)
+    )
+    cell = rows[ib] * params.horizon_scan + cols[ib]
+    winner = np.full(params.grid_size, -1, np.int64)
+    # ufunc.at is defined for repeated indices: per-cell max input index ==
+    # the reference's last-wins overwrite order
+    np.maximum.at(winner, cell, np.flatnonzero(ib))
+    keep = np.sort(winner[winner >= 0])
+    return {k: np.asarray(v)[:n][keep] for k, v in data.items()}, len(keep)
+
+
 def get_ordered_cloud(cloud: Cloud, params: SensorParams) -> Cloud:
     """Order a padded cloud into the dense sensor grid.
 

@@ -209,8 +209,10 @@ def run_multi_bev(
         def _load(f):
             # the grid-ordered layout check (7 full-array reductions) runs on
             # the producer thread, overlapped with device compute — not in
-            # the consumer loop's critical path
-            a = load_xyzirct_arrays(f, capacity)
+            # the consumer loop's critical path.  params routes over-capacity
+            # clouds through the host last-wins compaction (exact
+            # getOrderedCloud semantics) instead of truncation.
+            a = load_xyzirct_arrays(f, capacity, params=params)
             a["_grid_ordered"] = arrays_grid_ordered(a, params)
             return a
 

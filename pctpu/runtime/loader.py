@@ -29,12 +29,28 @@ def list_pcd_files(path: str) -> list[str]:
     return sorted(names)
 
 
-def load_xyzirct_arrays(path: str, capacity: int) -> dict[str, np.ndarray]:
-    """Load one pcd into padded SoA numpy arrays (zero padding)."""
+def load_xyzirct_arrays(
+    path: str, capacity: int, params=None
+) -> dict[str, np.ndarray]:
+    """Load one pcd into padded SoA numpy arrays (zero padding).
+
+    With ``params`` (SensorParams), a cloud larger than ``capacity`` is
+    host-compacted to its per-grid-cell last-wins winners
+    (pctpu.ops.ordering.compact_last_wins) instead of truncated — the
+    on-device ordering kernel then reproduces the reference's
+    getOrderedCloud result for the FULL cloud exactly.  Without ``params``
+    (callers whose capacity is derived from the actual point counts, e.g.
+    the registration drivers), oversized clouds truncate to the first
+    ``capacity`` points."""
     from pctpu.io.pcd import read_pcd
 
     data, meta = read_pcd(path)
-    n = min(meta["points"], capacity)
+    n_raw = meta["points"]
+    if params is not None and n_raw > capacity:
+        from pctpu.ops.ordering import compact_last_wins
+
+        data, n_raw = compact_last_wins(data, n_raw, params)
+    n = min(n_raw, capacity)
     # narrow on-disk widths: the device widens after transfer
     out = {
         "xyz": np.zeros((capacity, 3), np.float32),

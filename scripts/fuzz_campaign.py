@@ -53,6 +53,12 @@ def main() -> int:
                          "differential cases (register_pair vs the composed "
                          "plain-loop oracle; every 3rd case adds the "
                          "whole-cloud ablation glue; ~25-40 s/case)")
+    ap.add_argument("--adversarial", type=int, default=0,
+                    help="also run N adversarial real-log SHAPE cases "
+                         "(over-capacity clouds via host compaction, dropped "
+                         "azimuth sectors, degenerate all/zero-ground "
+                         "scenes) vs the plain-loop oracle on the FULL "
+                         "uncompacted point list")
     ap.add_argument("--native", type=int, default=0,
                     help="also run N cases per regime against the native C++ "
                          "oracle (native/ref_oracle.cpp): pctpu vs C++ "
@@ -205,6 +211,8 @@ def main() -> int:
         failures += run_misc_sweep(args.start, args.misc)
     if args.twostage:
         failures += run_twostage_sweep(args.start, args.twostage)
+    if args.adversarial:
+        failures += run_adversarial_sweep(args.start, args.adversarial)
     if args.native:
         failures += run_native_sweep(args.start, args.native)
 
@@ -215,6 +223,105 @@ def main() -> int:
         flush=True,
     )
     return 1 if failures else 0
+
+
+def run_adversarial_sweep(start: int, n_cases: int) -> int:
+    """Adversarial real-log SHAPE sweep (VERDICT r3 item 4's fuzz leg).
+
+    Each case builds a pathological cloud the happy-path regimes never
+    produce — larger than the grid capacity (exercising the host last-wins
+    compaction, pctpu.ops.ordering.compact_last_wins), with dropped azimuth
+    sectors (contiguous col ranges absent), heavy duplicate-cell pressure,
+    and degenerate all-ground / zero-ground z distributions — then runs the
+    full preprocess (compaction → ordering → ground → fused BEV) against
+    the plain-loop Python oracle applied to the FULL uncompacted point
+    list.  Bit-exact equality is a hard failure."""
+    import time
+
+    import numpy as np
+
+    from pctpu.ops.bev import fused_multi_single_bev
+    from pctpu.ops.ground import mark_ground
+    from pctpu.ops.ordering import compact_last_wins, get_ordered_cloud
+
+    from tests import ref_impl
+    from tests.test_ops_preprocess import SMALL, to_cloud
+
+    g = SMALL.grid_size
+    failures = 0
+    t0 = time.time()
+    for case in range(n_cases):
+        seed = start + 700_000 + case
+        rng = np.random.default_rng(seed)
+        shape = case % 4
+        n = int(rng.integers(g + 1, 3 * g))  # always over capacity
+        rows = rng.integers(-1, SMALL.n_scan + 1, n)
+        # dropped azimuth sectors: one or two contiguous col bands absent
+        cols = rng.integers(-1, SMALL.horizon_scan + 1, n)
+        for _ in range(int(rng.integers(1, 3))):
+            lo = int(rng.integers(0, SMALL.horizon_scan - 2))
+            hi = lo + int(rng.integers(1, SMALL.horizon_scan // 3))
+            dead = (cols >= lo) & (cols < hi)
+            cols[dead] = (hi + 1) % SMALL.horizon_scan
+        if shape == 1:  # all-ground: flat plane
+            z = rng.uniform(-1.95, -1.85, n)
+        elif shape == 2:  # zero-ground: steep wall band
+            z = 2.0 + 0.8 * (SMALL.n_scan - rows)
+        else:
+            z = rng.uniform(-2.5, 4.0, n)
+        r = rng.uniform(2.0, 60.0, n)
+        az = rng.uniform(-np.pi, np.pi, n)
+        pts = [
+            {"x": float(np.float32(r[i] * np.cos(az[i]))),
+             "y": float(np.float32(r[i] * np.sin(az[i]))),
+             "z": float(np.float32(z[i])),
+             "intensity": -1.0 if rng.random() < 0.2
+             else float(np.float32(rng.random())),
+             "row": int(rows[i]), "col": int(cols[i]),
+             "t": int(rng.integers(0, 1000)), "label": -2}
+            for i in range(n)
+        ]
+
+        ref_cloud = ref_impl.ordered_cloud_ref(
+            pts, SMALL.n_scan, SMALL.horizon_scan
+        )
+        ref_impl.mark_ground_ref(
+            ref_cloud, SMALL.n_scan, SMALL.horizon_scan,
+            SMALL.ground_upper_scan,
+        )
+        ref_labels = np.array([p["label"] for p in ref_cloud], np.int32)
+        ref_multi = ref_impl.multi_bev_ref(ref_cloud, SMALL.height_res)
+        ref_single = ref_impl.single_bev_ref(ref_cloud)
+
+        fields = {
+            k: np.array([p[k] for p in pts]) for k in
+            ("x", "y", "z", "intensity", "row", "col", "t", "label")
+        }
+        compacted, n_keep = compact_last_wins(fields, n, SMALL)
+        assert n_keep <= g
+        cpts = [
+            {k: (float(v[i]) if v.dtype.kind == "f" else int(v[i]))
+             for k, v in compacted.items()}
+            for i in range(n_keep)
+        ]
+        ordered = get_ordered_cloud(to_cloud(cpts, capacity=g), SMALL)
+        labeled, _ = mark_ground(ordered, SMALL)
+        fm, fs = fused_multi_single_bev(labeled, SMALL.height_res)
+        if not (
+            np.array_equal(np.asarray(labeled.label), ref_labels)
+            and np.array_equal(np.asarray(fm), ref_multi)
+            and np.array_equal(np.asarray(fs), ref_single)
+        ):
+            failures += 1
+            print(f"FAIL adversarial shape={shape} seed={seed}", flush=True)
+        if case % 20 == 19:
+            print(
+                f"adversarial [{time.time() - t0:6.0f}s] {case + 1} cases "
+                f"failures={failures}",
+                flush=True,
+            )
+    print(f"adversarial: {n_cases} cases, failures={failures}", flush=True)
+    return failures
 
 
 def run_native_sweep(start: int, n_cases: int) -> int:
