@@ -397,14 +397,9 @@ def verify_on_device() -> str:
         i_ref, d_ref = nn_1(q, qm, t, tm)
         i_thr, d_thr = pallas_nn_1_pruned(q, qm, t, tm, max_distance=1.0)
         i_fit, d_fit = pallas_nn_1_pruned(q, qm, t, tm, max_distance=None)
-        # warm-start path (RegistrationConfig.seed_nn): seed with the oracle
-        # winners — must reproduce them
-        i_sd, d_sd = pallas_nn_1_pruned(
-            q, qm, t, tm, seed_idx=i_ref, seed_d2=d_ref
-        )
-        return i_ref, d_ref, i_thr, d_thr, i_fit, d_fit, i_sd, d_sd
+        return i_ref, d_ref, i_thr, d_thr, i_fit, d_fit
 
-    i_ref, d_ref, i_thr, d_thr, i_fit, d_fit, i_sd, d_sd = jax.device_get(
+    i_ref, d_ref, i_thr, d_thr, i_fit, d_fit = jax.device_get(
         _nn_all(q, qm, t, tm)
     )
     # Winner selection happens on MXU scores |t|² − 2q·t with absolute error
@@ -435,7 +430,6 @@ def verify_on_device() -> str:
         "pruned NN (thr) beyond-gate"
     )
     check("fitness", i_fit, d_fit, np.ones(n, bool))
-    check("seeded", i_sd, d_sd, np.ones(n, bool))
 
     # --- fused vs unfused preprocess BEVs at HDL-64E, both compat modes ----
     # Stages compile as SEPARATE programs: one mega-program containing both
@@ -545,14 +539,11 @@ def verify_on_device() -> str:
     return "ok"
 
 
-def measure_registration(seed_nn: bool = False, return_stages: bool = False):
+def measure_registration(return_stages: bool = False):
     """Fused two-stage registration pairs/sec on 65k-point synthetic scenes.
 
-    ``seed_nn=True`` measures the warm-start throughput mode
-    (RegistrationConfig.seed_nn — the registration analogue of the preprocess
-    tolerance compat).  ``return_stages=True`` also returns the measured
-    per-pair stage wall times (the reference's two [TIME] spans) from the
-    pipelined run."""
+    ``return_stages=True`` also returns the measured per-pair stage wall
+    times (the reference's two [TIME] spans) from the pipelined run."""
     from pctpu.cloud import make_cloud
     from pctpu.pipelines.registration import register_pair
 
@@ -608,7 +599,7 @@ def measure_registration(seed_nn: bool = False, return_stages: bool = False):
 
     from pctpu.runtime.profiler import StageTimer
 
-    cfg = RegistrationConfig(seed_nn=seed_nn)
+    cfg = RegistrationConfig()
     register_pairs(batch(1), cfg, flat_cap=32768)  # compile
     stage_timer = StageTimer()
     # timed: the production pipelined stream — batch k+1's stack+coarse
@@ -620,7 +611,10 @@ def measure_registration(seed_nn: bool = False, return_stages: bool = False):
     # stride >= n_pairs so no perturbation offset recurs across batches:
     # the axon runtime value-caches repeated input values (CLAUDE.md), and
     # re-presenting bit-identical pairs would inflate the measured rate
-    n_batches = 3
+    # 6 batches: the pipeline needs one batch of ramp-up before coarse/fine
+    # halves fully overlap — 3 batches under-reported the steady-state rate
+    # the batch driver reaches on real match lists (hundreds of pairs)
+    n_batches = 6
     built = [batch(100 + n_pairs * i) for i in range(n_batches)]
     t0 = time.perf_counter()
     for _ in register_pairs_pipelined(
@@ -668,7 +662,6 @@ def main() -> int:
         hdl32_cps = measure_tpu(ordered=True, sensor="HDL_32E")
         os1_cps = measure_tpu(ordered=True, sensor="OS1_64")
         pairs_per_sec, reg_stages = measure_registration(return_stages=True)
-        pairs_per_sec_seeded = measure_registration(seed_nn=True)
         reg_base = measure_registration_baseline()
         reg_base_pps = 1000.0 / reg_base["ms_per_pair"]
         with open(os.path.join(REPO, "bench_details.json"), "w") as f:
@@ -701,9 +694,6 @@ def main() -> int:
                     ),
                     "registration_pairs_per_sec_65k": round(pairs_per_sec, 3),
                     "registration_stage_wall_ms_per_pair": reg_stages,
-                    "registration_pairs_per_sec_65k_seed_nn": round(
-                        pairs_per_sec_seeded, 3
-                    ),
                     "registration_baseline_single_core_pairs_per_sec": round(
                         reg_base_pps, 3
                     ),

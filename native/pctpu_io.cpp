@@ -125,6 +125,15 @@ void deflate_rle_fixed(const unsigned char* raw, size_t n,
     bw.bits(T.lit[b].bits, T.lit[b].n);
     ++i;
     size_t run = 0;
+    // word-wise scan: BEV rasters are dominated by long zero runs, so
+    // skipping 8 equal bytes per compare is the encoder's hot path
+    uint64_t pat = 0x0101010101010101ULL * b;
+    while (i + run + 8 <= n) {
+      uint64_t w8;
+      std::memcpy(&w8, raw + i + run, 8);
+      if (w8 != pat) break;
+      run += 8;
+    }
     while (i + run < n && raw[i + run] == b) ++run;
     while (run >= 3) {
       size_t l = run > 258 ? 258 : run;
@@ -159,13 +168,18 @@ bool encode_png(const uint8_t* img, int h, int w, int level,
   put_chunk(out, "IHDR", ihdr, 13);
 
   // raw scanlines with filter byte 0 (the filter byte is itself 0, so zero
-  // runs continue across row boundaries — ideal for the RLE encoder)
-  std::vector<unsigned char> raw(static_cast<size_t>(h) * (w + 1));
+  // runs continue across row boundaries — ideal for the RLE encoder).
+  // thread_local: one reused buffer per writer thread (AsyncWriter calls
+  // from several) instead of a malloc per image
+  static thread_local std::vector<unsigned char> raw;
+  raw.resize(static_cast<size_t>(h) * (w + 1));
   for (int r = 0; r < h; ++r) {
     raw[static_cast<size_t>(r) * (w + 1)] = 0;
     std::memcpy(&raw[static_cast<size_t>(r) * (w + 1) + 1], img + static_cast<size_t>(r) * w, w);
   }
-  std::vector<unsigned char> comp;
+  static thread_local std::vector<unsigned char> comp_buf;
+  std::vector<unsigned char>& comp = comp_buf;
+  comp.clear();
   if (level == 1) {
     // fast path: hand-rolled RLE fixed-Huffman deflate (valid zlib stream)
     deflate_rle_fixed(raw.data(), raw.size(), comp);
@@ -198,7 +212,7 @@ extern "C" {
 // Encode + write one 8-bit grayscale PNG.  Returns 0 on success.
 int pctpu_write_png(const uint8_t* img, int h, int w, int level,
                     const char* path) {
-  std::vector<unsigned char> out;
+  static thread_local std::vector<unsigned char> out;
   if (!encode_png(img, h, w, level, out)) return 1;
   return write_file(path, out.data(), out.size()) ? 0 : 2;
 }

@@ -16,7 +16,6 @@ def main(argv=None) -> int:
             "Extensions: --pair-batch=N (vmapped pair batching; default 16\n"
             "            on TPU, 1 elsewhere)  --devices=N\n"
             "            (data-parallel mesh)  --capacity=N  --flat-cap=N\n"
-            "            --seed-nn=true (warm-start NN throughput mode)\n"
             "            --report=PATH  --resume (skip pairs already in\n"
             "            <report>.progress)  --num-processes=N --process-id=K\n"
             "            --coordinator=host:port"
@@ -27,17 +26,9 @@ def main(argv=None) -> int:
         from pctpu.parallel.distributed import initialize
 
         initialize(kw["coordinator"], nproc, pid)
-    cfg_kw = {}
-    if kw.get("seed_nn", "false") == "true":
-        # warm-start NN throughput mode (RegistrationConfig.seed_nn) — the
-        # registration analogue of --compat=tolerance, off by default
-        from pctpu.config import RegistrationConfig
-
-        cfg_kw["cfg"] = RegistrationConfig(seed_nn=True)
     run_batch_top_part_registration(
         pos[0],
         pos[1],
-        **cfg_kw,
         report_path=kw.get("report", "./icp_precision_report.txt"),
         flat_cap=int_kw(kw, "flat_cap", 32768),
         capacity=int_kw(kw, "capacity", None),

@@ -230,11 +230,6 @@ class RegistrationConfig:
     fine: IcpConfig = FINE_ICP
     failure_fitness: float = 1.5
     use_refinement: bool = True
-    # warm-start the fine-stage NN passes with the previous iteration's
-    # winners (pctpu.ops.icp seed_nn) — the registration throughput mode;
-    # widens the NN near-tie window to ~0.05 d2 (inside the <0.5 deg
-    # acceptance, BASELINE.json:5).  Off by default for exact parity.
-    seed_nn: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

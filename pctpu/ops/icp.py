@@ -114,7 +114,6 @@ def icp(
     nn_tile: int = 512,
     nn_impl: str = "auto",
     mesh=None,
-    seed_nn: bool = False,
 ) -> IcpResult:
     """Run one ICP alignment.  All arrays fixed-size with validity masks.
 
@@ -131,15 +130,6 @@ def icp(
     elsewhere).  "pruned_interpret" runs the Pallas kernel in interpreter
     mode for CPU testing.
 
-    ``seed_nn`` (pruned impls only) warm-starts every NN pass after the first
-    with the previous iteration's winners, and the fitness pass with the last
-    correspondence pass's — each pass's dynamic pruning bound starts tight
-    instead of at +inf (measured ~2-3× per-pass win at 49k²,
-    docs/PERFORMANCE.md).  Winner selection gains the seed margin (~0.05 in
-    d², pallas_nn_1_pruned docstring) on top of the documented score-window —
-    inside the <0.5° / <1 px acceptance window, so this is the registration
-    analogue of the preprocess tolerance mode and stays off by default.
-
     All matrix products trace under full-f32 precision: the platform default
     (bf16-class) corrupts transforms by ~0.4% per iteration, which compounds
     into degrees of rotation error.
@@ -148,18 +138,16 @@ def icp(
         return _icp_impl(
             src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg,
             tgt_normals, normal_mask, nn_tile, nn_impl=nn_impl, mesh=mesh,
-            seed_nn=seed_nn,
         )
 
 
 def _icp_impl(
     src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg: IcpConfig,
     tgt_normals, normal_mask, nn_tile: int, with_trace: bool = False,
-    nn_impl: str = "auto", mesh=None, seed_nn: bool = False,
+    nn_impl: str = "auto", mesh=None,
 ):
     if nn_impl == "auto":
         nn_impl = "pruned" if jax.default_backend() == "tpu" else "xla"
-    use_seed = seed_nn and nn_impl in ("pruned", "pruned_interpret")
     max_d2 = jnp.float32(cfg.max_correspondence_distance) ** 2
     eps_t = jnp.float32(cfg.transformation_epsilon)
     rot_thresh = jnp.float32(1.0 - cfg.transformation_epsilon)
@@ -186,17 +174,15 @@ def _icp_impl(
             tgt_xyz, tgt_mask = spatial_sort_payload(tgt_xyz, tgt_mask)
         src_xyz, src_mask = spatial_sort_payload(src_xyz, src_mask)
 
-        def nn_corr(q, qm, tmask, seed_idx=None, seed_d2=None):
+        def nn_corr(q, qm, tmask):
             return pallas_nn_1_pruned(
                 q, qm, tgt_xyz, tmask,
                 max_distance=cfg.max_correspondence_distance, interpret=interp,
-                seed_idx=seed_idx, seed_d2=seed_d2,
             )
 
-        def nn_fit(q, qm, tmask, seed_idx=None, seed_d2=None):
+        def nn_fit(q, qm, tmask):
             return pallas_nn_1_pruned(
                 q, qm, tgt_xyz, tmask, max_distance=None, interpret=interp,
-                seed_idx=seed_idx, seed_d2=seed_d2,
             )
     elif nn_impl == "sharded":
         # point-axis scaling (SURVEY.md §5.7): the target cloud is split over
@@ -242,19 +228,8 @@ def _icp_impl(
     if tgt_normals is not None and normal_mask is not None:
         corr_tgt_mask = tgt_mask & normal_mask
 
-    def one_iteration(transformed, seed=None):
-        if seed is not None:
-            sidx, sok = seed
-            # exact elementwise d² to the previous winner at the NEW source
-            # positions: a valid upper bound of this iteration's true NN d²
-            sd2 = jnp.where(
-                sok,
-                jnp.sum((transformed - tgt_xyz[sidx]) ** 2, axis=1),
-                jnp.inf,
-            )
-            idx, d2 = nn_corr(transformed, src_mask, corr_tgt_mask, sidx, sd2)
-        else:
-            idx, d2 = nn_corr(transformed, src_mask, corr_tgt_mask)
+    def one_iteration(transformed):
+        idx, d2 = nn_corr(transformed, src_mask, corr_tgt_mask)
         w = (src_mask & (d2 <= max_d2)).astype(jnp.float32)
         # sanitize rejected-correspondence gathers BEFORE the estimation:
         # unmatched queries carry idx 0 (the pruned kernel's convention), and
@@ -281,12 +256,8 @@ def _icp_impl(
         return (~done) & (it < min_one)
 
     def body(state):
-        if use_seed:
-            it, final_t, transformed, prev_mse, done, conv, sidx, sok = state
-            inc, w, d2, idx = one_iteration(transformed, (sidx, sok))
-        else:
-            it, final_t, transformed, prev_mse, done, conv = state
-            inc, w, d2, idx = one_iteration(transformed)
+        it, final_t, transformed, prev_mse, done, conv = state
+        inc, w, d2, idx = one_iteration(transformed)
         ncorr = jnp.sum(w)
         enough = ncorr >= 3.0
         inc = jnp.where(enough, inc, jnp.eye(4, dtype=jnp.float32))
@@ -312,9 +283,6 @@ def _icp_impl(
         new_done = done | (~enough) | converged_now | hit_max
         # < 3 correspondences → hasConverged() false (PCL aborts the loop)
         new_conv = jnp.where(done, conv, enough & (converged_now | hit_max | conv))
-        if use_seed:
-            return (it, final_t, transformed, mse, new_done, new_conv,
-                    idx, w > 0)
         return it, final_t, transformed, mse, new_done, new_conv
 
     guess = jnp.asarray(guess, jnp.float32)
@@ -326,11 +294,6 @@ def _icp_impl(
         jnp.bool_(False),
         jnp.bool_(False),
     )
-    if use_seed:
-        init = init + (
-            jnp.zeros(src_xyz.shape[0], jnp.int32),
-            jnp.zeros(src_xyz.shape[0], bool),
-        )
     trace = None
     if with_trace:
         # fixed-length scan so every iteration's state can be recorded; the
@@ -354,16 +317,7 @@ def _icp_impl(
     # fitness: mean squared NN distance over all source points (default
     # max_range → every point counts), against the plain target mask
     transformed = _apply(final_t, src_xyz)
-    if use_seed:
-        sidx_f, sok_f = final_state[6], final_state[7]
-        sd2_f = jnp.where(
-            sok_f,
-            jnp.sum((transformed - tgt_xyz[sidx_f]) ** 2, axis=1),
-            jnp.inf,
-        )
-        _, d2 = nn_fit(transformed, src_mask, tgt_mask, sidx_f, sd2_f)
-    else:
-        _, d2 = nn_fit(transformed, src_mask, tgt_mask)
+    _, d2 = nn_fit(transformed, src_mask, tgt_mask)
     nsrc_raw = jnp.sum(src_mask.astype(jnp.float32))
     fitness = jnp.where(
         nsrc_raw > 0,
@@ -378,22 +332,22 @@ def _icp_impl(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "nn_tile", "nn_impl", "mesh", "seed_nn"),
+    static_argnames=("cfg", "nn_tile", "nn_impl", "mesh"),
 )
 def icp_point_to_point(src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg: IcpConfig,
                        nn_tile: int = 512, nn_impl: str = "auto",
-                       mesh=None, seed_nn: bool = False) -> IcpResult:
+                       mesh=None) -> IcpResult:
     return icp(src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg, nn_tile=nn_tile,
-               nn_impl=nn_impl, mesh=mesh, seed_nn=seed_nn)
+               nn_impl=nn_impl, mesh=mesh)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "nn_tile", "nn_impl", "seed_nn")
+    jax.jit, static_argnames=("cfg", "nn_tile", "nn_impl")
 )
 def icp_trace(
     src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg: IcpConfig,
     tgt_normals=None, normal_mask=None, nn_tile: int = 512,
-    nn_impl: str = "auto", seed_nn: bool = False,
+    nn_impl: str = "auto",
 ):
     """Debug/differential-test variant: like ``icp`` but also returns the
     per-iteration state trace (transform, MSE, done/converged flags) from a
@@ -403,7 +357,6 @@ def icp_trace(
         return _icp_impl(
             src_xyz, src_mask, tgt_xyz, tgt_mask, guess, cfg,
             tgt_normals, normal_mask, nn_tile, with_trace=True, nn_impl=nn_impl,
-            seed_nn=seed_nn,
         )
 
 

@@ -218,12 +218,9 @@ def _diag_tile(i, j, nq_t, nt_t):
     return (i * nt_t // nq_t + j) % nt_t
 
 
-def _make_nn_pruned_kernel(nq_t, nt_t, seeded: bool = False):
-    def _nn_pruned_kernel(qb_ref, tb_ref, thr_ref, q_ref, t_ref, *rest):
-        if seeded:
-            sv_ref, si_ref, val_ref, idx_ref = rest
-        else:
-            val_ref, idx_ref = rest
+def _make_nn_pruned_kernel(nq_t, nt_t):
+    def _nn_pruned_kernel(qb_ref, tb_ref, thr_ref, q_ref, t_ref, val_ref,
+                          idx_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
         tt = t_ref.shape[1]
@@ -232,28 +229,12 @@ def _make_nn_pruned_kernel(nq_t, nt_t, seeded: bool = False):
         @pl.when(j == 0)
         def _():
             # masked queries start at -BIG so they never update and never hold
-            # the dynamic bound open; valid queries start at +BIG — or, when a
-            # warm-start seed is given, at the seed's (margin-padded) d² with
-            # the seed index: the seed d² is an upper bound of the true NN d²,
-            # so pruning against it stays exact up to the margin, and the
-            # dynamic bound starts tight instead of at +BIG
+            # the dynamic bound open; valid queries start at +BIG
             masked = q_ref[4, :] > 0.5
-            if seeded:
-                sv = sv_ref[0, :]
-                has = sv < jnp.float32(_BIG) / 2
-                val_ref[0, :] = jnp.where(
-                    masked,
-                    -jnp.float32(_BIG),
-                    jnp.where(has, sv, jnp.float32(_BIG)),
-                )
-                idx_ref[0, :] = jnp.where(
-                    masked | ~has, 0, si_ref[0, :]
-                ).astype(jnp.int32)
-            else:
-                val_ref[0, :] = jnp.where(
-                    masked, -jnp.float32(_BIG), jnp.float32(_BIG)
-                )
-                idx_ref[0, :] = jnp.zeros_like(idx_ref[0, :])
+            val_ref[0, :] = jnp.where(
+                masked, -jnp.float32(_BIG), jnp.float32(_BIG)
+            )
+            idx_ref[0, :] = jnp.zeros_like(idx_ref[0, :])
 
         # box-to-box squared gap
         gap = jnp.float32(0.0)
@@ -291,7 +272,7 @@ def _make_nn_pruned_kernel(nq_t, nt_t, seeded: bool = False):
     return _nn_pruned_kernel
 
 
-def _make_nn_pruned_loop_kernel(nq_t, nt_t, tt, seeded: bool):
+def _make_nn_pruned_loop_kernel(nq_t, nt_t, tt):
     """1-D-grid variant: one grid step per q-tile, inner fori_loop over
     t-tiles sliced from the FULL target planes held in VMEM.  The 2-D-grid
     kernel pays its BlockSpec t-tile copy and a VPU→scalar bound readback on
@@ -305,27 +286,13 @@ def _make_nn_pruned_loop_kernel(nq_t, nt_t, tt, seeded: bool):
     registration stages), unlike a manual-DMA formulation (memory-space ANY
     inputs reject nontrivial batched index maps)."""
 
-    def kernel(qb_ref, tb_ref, thr_ref, q_ref, *rest):
-        if seeded:
-            t_vmem, sv_ref, si_ref, val_ref, idx_ref = rest
-        else:
-            t_vmem, val_ref, idx_ref = rest
+    def kernel(qb_ref, tb_ref, thr_ref, q_ref, t_vmem, val_ref, idx_ref):
         i = pl.program_id(0)
 
         masked = q_ref[4, :] > 0.5
-        if seeded:
-            sv = sv_ref[0, :]
-            has = sv < jnp.float32(_BIG) / 2
-            val0 = jnp.where(
-                masked, -jnp.float32(_BIG),
-                jnp.where(has, sv, jnp.float32(_BIG)),
-            )
-            idx0 = jnp.where(masked | ~has, 0, si_ref[0, :]).astype(jnp.int32)
-        else:
-            val0 = jnp.where(masked, -jnp.float32(_BIG), jnp.float32(_BIG))
-            idx0 = jnp.zeros_like(idx_ref[0, :])
-        val_ref[0, :] = val0
-        idx_ref[0, :] = idx0
+        val_ref[0, :] = jnp.where(masked, -jnp.float32(_BIG),
+                                  jnp.float32(_BIG))
+        idx_ref[0, :] = jnp.zeros_like(idx_ref[0, :])
 
         q2 = q_ref[0, :] ** 2 + q_ref[1, :] ** 2 + q_ref[2, :] ** 2
 
@@ -383,9 +350,6 @@ def pallas_nn_1_pruned(
     tq: int = 256,
     tt: int = 1024,
     interpret: bool = False,
-    seed_idx: jnp.ndarray | None = None,
-    seed_d2: jnp.ndarray | None = None,
-    seed_margin: float = 0.05,
     kernel: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """1-NN with block pruning, exact up to score-domain ties.  Both clouds
@@ -398,19 +362,6 @@ def pallas_nn_1_pruned(
     the returned distance is always re-derived exactly from the winner's
     coordinates.  Queries with no target within ``max_distance`` return
     +inf.
-
-    ``seed_idx``/``seed_d2`` (both (Q,)) warm-start the search: per query, a
-    known target index and its EXACT squared distance (+inf = no seed, e.g.
-    the first ICP iteration or a query without a prior correspondence).  The
-    running (val, idx) accumulator initializes to (seed_d2 + seed_margin,
-    seed_idx) instead of (+BIG, 0), so the per-tile dynamic bound is tight
-    from the first visited block — in ICP each iteration seeds with the
-    previous iteration's winners, cutting pass time ~2-3× (measured,
-    docs/PERFORMANCE.md).  Correctness: seed_d2 upper-bounds the true NN d²,
-    so a pruned tile's every target satisfies d² ≥ gap > bound ≥ true-NN +
-    margin and cannot win; ``seed_margin`` must exceed the MXU score error
-    (~|p|²·2⁻²³ ≈ 5e-3 at ±100 m — default 0.05 is ~10× that), which widens
-    the documented near-tie window from ~5e-3 to ``seed_margin`` in d².
     """
     qn = query.shape[0]
     tn = target.shape[0]
@@ -436,38 +387,6 @@ def pallas_nn_1_pruned(
     )
 
     nq_t, nt_t = qp // tq, tp // tt
-    seeded = seed_idx is not None
-    sv = si = None
-    if seeded:
-        assert seed_d2 is not None
-        si_clip = jnp.clip(seed_idx.astype(jnp.int32), 0, tn - 1)
-        # a seed pointing at a MASKED target is unsound: its d² is not an
-        # upper bound of the true valid-NN distance, so the bound could
-        # prune the real winner's tile.  Invalidate such seeds (one cheap
-        # gather); ICP's seeds always point at corr-valid targets, this
-        # guards the general API.
-        seed_valid = target_mask[si_clip]
-        sv = jnp.full((1, qp), jnp.float32(_BIG))
-        sv = sv.at[0, :qn].set(
-            jnp.where(
-                seed_valid,
-                jnp.minimum(
-                    seed_d2.astype(jnp.float32)
-                    + jnp.asarray(seed_margin, jnp.float32),
-                    jnp.float32(_BIG),
-                ),
-                jnp.float32(_BIG),
-            )
-        )
-        si = jnp.zeros((1, qp), jnp.int32).at[0, :qn].set(si_clip)
-    seed_specs = (
-        [
-            pl.BlockSpec((1, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        ]
-        if seeded
-        else []
-    )
     out_spec_2d = [
         pl.BlockSpec((1, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
@@ -489,7 +408,7 @@ def pallas_nn_1_pruned(
         raise ValueError(f"kernel must be 'auto', '2d' or 'loop', got {kernel!r}")
     if use_2d:
         val, idx = pl.pallas_call(
-            _make_nn_pruned_kernel(nq_t, nt_t, seeded=seeded),
+            _make_nn_pruned_kernel(nq_t, nt_t),
             grid=(nq_t, nt_t),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # q bboxes
@@ -502,31 +421,19 @@ def pallas_nn_1_pruned(
                     lambda i, j: (0, _diag_tile(i, j, nq_t, nt_t)),
                     memory_space=pltpu.VMEM,
                 ),
-            ]
-            + seed_specs,
+            ],
             out_specs=out_spec_2d,
             out_shape=out_shape,
             interpret=interpret,
-        )(*([q_bbox, t_bbox, thr, q_planes, t_planes]
-            + ([sv, si] if seeded else [])))
+        )(q_bbox, t_bbox, thr, q_planes, t_planes)
     else:
         # compiled TPU path: 1-D grid + inner pruning loop over t-tiles
         # sliced from the full VMEM-resident t planes (constant index map →
         # loaded once, revolved) — pass time scales with visited tiles, not
         # grid size, and the formulation is vmap-safe for the batched
         # registration stages
-        seed_specs_1d = (
-            [
-                pl.BlockSpec((1, tq), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tq), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ]
-            if seeded
-            else []
-        )
         val, idx = pl.pallas_call(
-            _make_nn_pruned_loop_kernel(nq_t, nt_t, tt, seeded=seeded),
+            _make_nn_pruned_loop_kernel(nq_t, nt_t, tt),
             grid=(nq_t,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # q bboxes
@@ -536,8 +443,7 @@ def pallas_nn_1_pruned(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, tp), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),  # full t planes
-            ]
-            + seed_specs_1d,
+            ],
             out_specs=[
                 pl.BlockSpec((1, tq), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
@@ -546,8 +452,7 @@ def pallas_nn_1_pruned(
             ],
             out_shape=out_shape,
             interpret=interpret,
-        )(*([q_bbox, t_bbox, thr, q_planes, t_planes]
-            + ([sv, si] if seeded else [])))
+        )(q_bbox, t_bbox, thr, q_planes, t_planes)
 
     idx = idx[0, :qn]
     idx = jnp.clip(idx, 0, tn - 1)

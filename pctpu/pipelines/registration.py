@@ -224,7 +224,7 @@ def _stage_fine(s_xyz, s_mask, t_xyz, t_mask, guess, cfg: RegistrationConfig,
                 bucket: int, nn_impl: str = "auto", mesh=None):
     return icp_point_to_point(
         s_xyz[:bucket], s_mask[:bucket], t_xyz[:bucket], t_mask[:bucket],
-        guess, cfg.fine, nn_impl=nn_impl, mesh=mesh, seed_nn=cfg.seed_nn,
+        guess, cfg.fine, nn_impl=nn_impl, mesh=mesh,
     )
 
 
@@ -253,15 +253,32 @@ def register_pairs(
     return _pair_results(len(pairs), c1, c2, best, cfg, timer)
 
 
-def _pair_results(n, c1, c2, best, cfg, timer, spec=None):
-    """Coarse winners → per-pair (best coarse, fine-or-None) numpy tuples —
-    the optional-refinement tail shared by ``register_pairs`` and the
-    pipelined stream's fine half."""
+def _pair_results(n, c1, c2, best_dev, cfg, timer, spec=None):
+    """Coarse winners (still ON DEVICE) → per-pair (best coarse,
+    fine-or-None) numpy tuples — the optional-refinement tail shared by
+    ``register_pairs`` and the pipelined stream's fine half.
+
+    The fine stage seeds directly from the device-resident coarse
+    transforms, so it dispatches WITHOUT waiting for the coarse result
+    fetch; that ~28 ms roundtrip (this environment's tunnel) then resolves
+    while the fine ICP computes.  Identical values either way — the seed is
+    the same array, not a numpy round-trip."""
+
+    def fetch_best():
+        # items=0: the fetch extends the coarse [TIME] total without
+        # double-counting pairs in the per-pair average
+        with timer.stage("coarse", items=0):
+            return jax.tree.map(np.asarray, jax.device_get(best_dev))
+
     if not cfg.use_refinement:
+        best = fetch_best()
         return [
             (jax.tree.map(lambda a: a[i], best), None) for i in range(n)
         ]
-    fine = _fine_stage_batched(c1, c2, best, cfg, timer, spec=spec)
+    fine, best = _fine_stage_common(
+        c1, c2, best_dev.transform, cfg, timer, spec=spec,
+        overlap_fetch=fetch_best,
+    )
     return [
         (jax.tree.map(lambda x: x[i], best), jax.tree.map(lambda x: x[i], fine))
         for i in range(n)
@@ -322,7 +339,8 @@ class BucketSpec:
 
 def _coarse_stage_batched(pairs, cfg, flat_cap, timer, mesh, spec=None):
     """Stack + flat prep + both coarse ICPs for one pair batch (the
-    reference's 1st-stage span).  Returns (c1, c2, best-as-numpy).
+    reference's 1st-stage span).  Returns (c1, c2, best) with the coarse
+    winners still ON DEVICE (fetched later, overlapped with the fine stage).
 
     With ``spec`` (a :class:`BucketSpec`), the coarse ICP is dispatched
     speculatively at the previous batch's bucket before the stat fetch
@@ -363,23 +381,22 @@ def _coarse_stage_batched(pairs, cfg, flat_cap, timer, mesh, spec=None):
             spec.coarse = bucket
         if spec is None or not spec.record(predicted, bucket):
             best = run_coarse(bucket)
-        best = jax.tree.map(np.asarray, jax.device_get(best))
+        # NO fetch here: the winners stay on device so the fine stage can
+        # seed and dispatch immediately; _pair_results fetches them while
+        # the fine ICP computes (timer segment stays labeled "coarse")
     return c1, c2, best
 
 
-def _fine_stage_batched(c1, c2, best, cfg, timer, spec=None):
-    """Full-cloud voxel + fine ICP for one pair batch (2nd-stage span),
-    warm-started from the coarse winners."""
-    return _fine_stage_common(
-        c1, c2, jnp.asarray(best.transform), cfg, timer, spec=spec
-    )
-
-
-def _fine_stage_common(c1, c2, guesses, cfg, timer, spec=None):
+def _fine_stage_common(c1, c2, guesses, cfg, timer, spec=None,
+                       overlap_fetch=None):
     """Vmapped full-cloud voxel + stats fetch + bucketed fine ICP — shared by
-    the top-part fine stage (guesses = coarse transforms) and the
-    whole-cloud ablation (guesses = raw yaw rotations).  ``spec`` enables
-    speculative dispatch at the previous batch's fine bucket (BucketSpec)."""
+    the top-part fine stage (guesses = device-resident coarse transforms)
+    and the whole-cloud ablation (guesses = raw yaw rotations).  ``spec``
+    enables speculative dispatch at the previous batch's fine bucket
+    (BucketSpec).  ``overlap_fetch`` (no-arg callable) runs after the final
+    fine dispatch and before the fine fetch — host fetch work that then
+    overlaps the fine device compute; its result is returned as the second
+    element of a (fine, fetched) tuple."""
     n = int(guesses.shape[0])
     with timer.stage("fine", items=n):
         a, b, chk2 = jax.vmap(
@@ -406,8 +423,9 @@ def _fine_stage_common(c1, c2, guesses, cfg, timer, spec=None):
             spec.fine = fbucket
         if spec is None or not spec.record(predicted, fbucket):
             fine = run_fine(fbucket)
+        fetched = overlap_fetch() if overlap_fetch is not None else None
         fine = jax.tree.map(np.asarray, jax.device_get(fine))
-    return fine
+    return (fine, fetched) if overlap_fetch is not None else fine
 
 
 def register_pairs_pipelined(
@@ -935,12 +953,8 @@ def run_batch_whole_registration(
                     )
                     s_xyz, s_mask, _ = _voxel_full(c1, cfg.voxel_leaf)
                     t_xyz, t_mask, _ = _voxel_full(c2, cfg.voxel_leaf)
-                    # seed_nn mirrors the batched path (_stage_fine): the
-                    # sequential and pair_batch>1 drivers must run the same
-                    # ICP configuration
                     fine = icp_point_to_point(
                         s_xyz, s_mask, t_xyz, t_mask, guess, cfg.fine,
-                        seed_nn=cfg.seed_nn,
                     )
                     fine = jax.tree.map(np.asarray, jax.device_get(fine))
                 yield m, fine

@@ -174,101 +174,11 @@ def test_icp_pruned_nan_normal_not_poisoning():
                                atol=1e-5)
 
 
-def test_pruned_nn_seeded_matches_unseeded():
-    """Warm-start seeds (perfect / absent / partial / stale) leave results
-    exact: seed d² upper-bounds the true NN d², so seeded pruning can only
-    skip targets that cannot win (pallas_nn_1_pruned docstring)."""
-    import jax.numpy as jnp
-
-    from pctpu.ops.knn import nn_1
-    from pctpu.ops.pallas_knn import pallas_nn_1_pruned, spatial_sort
-
-    rng = np.random.default_rng(12)
-    n, m = 700, 2500
-    q = rng.uniform(-50, 50, (n, 3)).astype(np.float32)
-    t = rng.uniform(-50, 50, (m, 3)).astype(np.float32)
-    qs, qm, _ = spatial_sort(jnp.asarray(q), jnp.ones(n, bool))
-    ts, tm, _ = spatial_sort(jnp.asarray(t), jnp.ones(m, bool))
-    i_ref, d_ref = nn_1(qs, qm, ts, tm)
-    stale_idx = jnp.roll(i_ref, 13)
-    stale_d2 = jnp.sum((qs - ts[stale_idx]) ** 2, axis=1)
-    for sidx, sd2 in [
-        (i_ref, d_ref),
-        (jnp.zeros(n, jnp.int32), jnp.full(n, jnp.inf)),
-        (i_ref, jnp.where(jnp.arange(n) % 3 == 0, d_ref, jnp.inf)),
-        (stale_idx, stale_d2),
-    ]:
-        i_s, d_s = pallas_nn_1_pruned(qs, qm, ts, tm, interpret=True,
-                                      seed_idx=sidx, seed_d2=sd2)
-        np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_ref))
-        np.testing.assert_array_equal(np.asarray(d_s), np.asarray(d_ref))
-    # thresholded + seeded: winners within the gate match exactly
-    i_s, d_s = pallas_nn_1_pruned(qs, qm, ts, tm, max_distance=2.0,
-                                  interpret=True, seed_idx=i_ref, seed_d2=d_ref)
-    within = np.asarray(d_ref) <= 4.0
-    np.testing.assert_array_equal(np.asarray(i_s)[within],
-                                  np.asarray(i_ref)[within])
-
-
-def test_icp_seed_nn_matches_unseeded():
-    """seed_nn=True reproduces the unseeded ICP bit-for-bit on a scene with
-    no near-ties (same winners per iteration → same transforms/fitness)."""
-    import jax.numpy as jnp
-
-    from pctpu.config import FINE_ICP
-    from pctpu.ops.icp import icp_point_to_point
-
-    rng = np.random.default_rng(4)
-    n = 2000
-    pts = rng.uniform(-50, 50, (n, 3)).astype(np.float32)
-    pts[:, 2] = rng.uniform(-2, 8, n).astype(np.float32)
-    th = np.radians(3.0)
-    rot = np.array([[np.cos(th), -np.sin(th), 0],
-                    [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
-    tgt = pts @ rot.T + np.float32([0.3, -0.2, 0])
-    m = jnp.ones(n, bool)
-    a = icp_point_to_point(jnp.asarray(pts), m, jnp.asarray(tgt), m,
-                           jnp.eye(4, dtype=jnp.float32), FINE_ICP,
-                           nn_impl="pruned_interpret")
-    b = icp_point_to_point(jnp.asarray(pts), m, jnp.asarray(tgt), m,
-                           jnp.eye(4, dtype=jnp.float32), FINE_ICP,
-                           nn_impl="pruned_interpret", seed_nn=True)
-    assert bool(a.converged) == bool(b.converged)
-    np.testing.assert_allclose(np.asarray(a.transform),
-                               np.asarray(b.transform), atol=1e-3)
-    np.testing.assert_allclose(float(a.fitness), float(b.fitness),
-                               rtol=1e-3, atol=1e-6)
-
-
-def test_pruned_nn_seed_at_masked_target_is_guarded():
-    """A seed pointing at a masked target must be invalidated: its d2 is
-    not an upper bound over VALID targets, so an unguarded bound could
-    prune the true winner's tile (regression: observed 1 wrong index +
-    inf d2 before the target_mask[seed_idx] guard)."""
-    import jax.numpy as jnp
-
-    from pctpu.ops.knn import nn_1
-    from pctpu.ops.pallas_knn import pallas_nn_1_pruned
-
-    pts = np.random.default_rng(0).uniform(-5, 5, (64, 3)).astype(np.float32)
-    tgt = np.random.default_rng(1).uniform(-5, 5, (128, 3)).astype(np.float32)
-    tm = jnp.ones(128, bool).at[5].set(False)
-    ir, dr = nn_1(jnp.asarray(pts), jnp.ones(64, bool), jnp.asarray(tgt), tm)
-    seed_idx = jnp.full(64, 5, jnp.int32)
-    seed_d2 = jnp.sum((jnp.asarray(pts) - jnp.asarray(tgt)[5]) ** 2, axis=1)
-    i, d = pallas_nn_1_pruned(
-        jnp.asarray(pts), jnp.ones(64, bool), jnp.asarray(tgt), tm,
-        interpret=True, seed_idx=seed_idx, seed_d2=seed_d2,
-    )
-    np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
-    np.testing.assert_array_equal(np.asarray(d), np.asarray(dr))
-
-
 def test_loop_kernel_matches_2d_kernel_and_oracle():
     """The 1-D-grid loop kernel (the COMPILED TPU path, ops/pallas_knn.py
     ``_make_nn_pruned_loop_kernel``) diff-tested on CPU via interpret mode
     against both the 2-D-grid kernel and the exact XLA oracle: no-threshold,
-    thresholded, masked, and all four seed regimes.  Before the ``kernel``
+    thresholded, and masked.  Before the ``kernel``
     override, interpret mode always fell back to the 2-D kernel and the loop
     kernel had no CPU coverage at all (round-2 VERDICT weak #4 class)."""
     import jax.numpy as jnp
@@ -303,19 +213,3 @@ def test_loop_kernel_matches_2d_kernel_and_oracle():
         within = np.asarray(d_ref) <= md * md
         np.testing.assert_array_equal(np.asarray(i_l)[within & valid],
                                       np.asarray(i_ref)[within & valid])
-
-    # seed regimes: perfect / none / partial / stale
-    stale_idx = jnp.roll(i_ref, 13)
-    stale_d2 = jnp.sum((qs - ts[stale_idx]) ** 2, axis=1)
-    for sidx, sd2 in [
-        (i_ref, d_ref),
-        (jnp.zeros(n, jnp.int32), jnp.full(n, jnp.inf)),
-        (i_ref, jnp.where(jnp.arange(n) % 3 == 0, d_ref, jnp.inf)),
-        (stale_idx, stale_d2),
-    ]:
-        i_s, d_s = pallas_nn_1_pruned(qs, qm, ts, tm, interpret=True,
-                                      kernel="loop", seed_idx=sidx, seed_d2=sd2)
-        np.testing.assert_array_equal(np.asarray(i_s)[valid],
-                                      np.asarray(i_ref)[valid])
-        np.testing.assert_array_equal(np.asarray(d_s)[valid],
-                                      np.asarray(d_ref)[valid])
