@@ -19,6 +19,7 @@ import dataclasses
 import functools
 import math
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -263,22 +264,28 @@ def _pair_results(n, c1, c2, best_dev, cfg, timer, spec=None):
     fetch; that ~28 ms roundtrip (this environment's tunnel) then resolves
     while the fine ICP computes.  Identical values either way — the seed is
     the same array, not a numpy round-trip."""
-
-    def fetch_best():
-        # items=0: the fetch extends the coarse [TIME] total without
-        # double-counting pairs in the per-pair average
-        with timer.stage("coarse", items=0):
-            return jax.tree.map(np.asarray, jax.device_get(best_dev))
-
-    if not cfg.use_refinement:
-        best = fetch_best()
-        return [
-            (jax.tree.map(lambda a: a[i], best), None) for i in range(n)
-        ]
-    fine, best = _fine_stage_common(
-        c1, c2, best_dev.transform, cfg, timer, spec=spec,
-        overlap_fetch=fetch_best,
+    fine_dev = (
+        _fine_dispatch(c1, c2, best_dev.transform, cfg, timer, spec=spec)
+        if cfg.use_refinement
+        else None
     )
+    return _fetch_pair_results(n, best_dev, fine_dev, timer)
+
+
+def _fetch_pair_results(n, best_dev, fine_dev, timer):
+    """Block on the device chain and assemble per-pair numpy tuples.  The
+    fine fetch (the long pole — it resolves only after every enqueued
+    program ran) extends the fine [TIME] total; the coarse fetch after it is
+    ~free (its value completed long before).  items=0: fetch spans extend
+    stage totals without double-counting pairs in the per-pair averages."""
+    fine = None
+    if fine_dev is not None:
+        with timer.stage("fine", items=0):
+            fine = jax.tree.map(np.asarray, jax.device_get(fine_dev))
+    with timer.stage("coarse", items=0):
+        best = jax.tree.map(np.asarray, jax.device_get(best_dev))
+    if fine is None:
+        return [(jax.tree.map(lambda a: a[i], best), None) for i in range(n)]
     return [
         (jax.tree.map(lambda x: x[i], best), jax.tree.map(lambda x: x[i], fine))
         for i in range(n)
@@ -387,16 +394,16 @@ def _coarse_stage_batched(pairs, cfg, flat_cap, timer, mesh, spec=None):
     return c1, c2, best
 
 
-def _fine_stage_common(c1, c2, guesses, cfg, timer, spec=None,
-                       overlap_fetch=None):
-    """Vmapped full-cloud voxel + stats fetch + bucketed fine ICP — shared by
-    the top-part fine stage (guesses = device-resident coarse transforms)
-    and the whole-cloud ablation (guesses = raw yaw rotations).  ``spec``
-    enables speculative dispatch at the previous batch's fine bucket
-    (BucketSpec).  ``overlap_fetch`` (no-arg callable) runs after the final
-    fine dispatch and before the fine fetch — host fetch work that then
-    overlaps the fine device compute; its result is returned as the second
-    element of a (fine, fetched) tuple."""
+def _fine_dispatch(c1, c2, guesses, cfg, timer, spec=None):
+    """Vmapped full-cloud voxel + stats fetch + bucketed fine ICP DISPATCH
+    (no result fetch) — shared by the top-part fine stage (guesses =
+    device-resident coarse transforms) and the whole-cloud ablation
+    (guesses = raw yaw rotations).  ``spec`` enables speculative dispatch at
+    the previous batch's fine bucket (BucketSpec).  Returns the fine
+    IcpResult batch still on device: in the pipelined stream this whole
+    function runs on the worker thread, so its stat roundtrip and dispatch
+    work hide under the PREVIOUS batch's fine device compute, and the main
+    thread's only job is blocking on results."""
     n = int(guesses.shape[0])
     with timer.stage("fine", items=n):
         a, b, chk2 = jax.vmap(
@@ -423,9 +430,101 @@ def _fine_stage_common(c1, c2, guesses, cfg, timer, spec=None,
             spec.fine = fbucket
         if spec is None or not spec.record(predicted, fbucket):
             fine = run_fine(fbucket)
-        fetched = overlap_fetch() if overlap_fetch is not None else None
-        fine = jax.tree.map(np.asarray, jax.device_get(fine))
-    return (fine, fetched) if overlap_fetch is not None else fine
+    return fine
+
+
+def _dispatch_batch_speculative(pairs, cfg, flat_cap, timer, mesh,
+                                spec: BucketSpec):
+    """Enqueue one batch's ENTIRE device chain — flat, coarse, voxel, fine —
+    back-to-back at the previous batch's capacity buckets, then resolve the
+    stat fetches to verify them.  The verified path (_coarse_stage_batched +
+    _fine_dispatch) blocks on the flat-stats fetch BEFORE enqueueing
+    voxel + fine; when that ~28 ms roundtrip resolves later than the device
+    finishes the coarse program, the device queue drains mid-batch.
+    Enqueueing the full chain first keeps the queue nonempty across the
+    whole batch span.  Bit-identical to the verified path: a speculative
+    result is kept only when the predicted bucket EQUALS the stat-dictated
+    one (BucketSpec) — a mispredicted stage, and every stage downstream of
+    it (the fine guesses are the coarse winners), is re-dispatched at the
+    verified bucket.  Cold starts (no recorded buckets) use the verified
+    path, which populates the spec."""
+    if spec.coarse is None or spec.fine is None or not cfg.use_refinement:
+        c1, c2, best = _coarse_stage_batched(
+            pairs, cfg, flat_cap, timer, mesh, spec=spec
+        )
+        fine = (
+            _fine_dispatch(c1, c2, best.transform, cfg, timer, spec=spec)
+            if cfg.use_refinement
+            else None
+        )
+        return len(pairs), best, fine
+
+    t0 = time.perf_counter()
+    c1 = _stack_pairs([p[0] for p in pairs])
+    c2 = _stack_pairs([p[1] for p in pairs])
+    guesses = jnp.asarray(np.stack([_guess_pair_np(p[2]) for p in pairs]))
+    n = len(pairs)
+    if mesh is not None:
+        c1, c2, guesses = _shard_pair_batch(mesh, n, c1, c2, guesses)
+
+    s, t, chk, nk_raw = jax.vmap(
+        lambda a, b: _stage_flat(a, b, flat_cap, cfg.voxel_leaf)
+    )(c1, c2)
+    stats_dev = jnp.stack([
+        jnp.max(s[2]).astype(jnp.float32),
+        jnp.max(t[2]).astype(jnp.float32),
+        jnp.sum(chk),
+        jnp.max(nk_raw).astype(jnp.float32),
+    ])
+
+    def run_coarse(bucket):
+        return jax.vmap(
+            lambda sx, sm, tx, tm, g: _stage_coarse(sx, sm, tx, tm, g, cfg, bucket)
+        )(s[0], s[1], t[0], t[1], guesses)
+
+    pc = spec.coarse
+    best = run_coarse(pc)
+    t1 = time.perf_counter()
+
+    a, b, chk2 = jax.vmap(
+        lambda x, y: _stage_voxel_full(x, y, cfg.voxel_leaf)
+    )(c1, c2)
+    stats2_dev = jnp.stack([
+        jnp.max(a[2]).astype(jnp.float32),
+        jnp.max(b[2]).astype(jnp.float32),
+        jnp.sum(chk2),
+    ])
+
+    def run_fine(fbucket, g):
+        return jax.vmap(
+            lambda sx, sm, tx, tm, gg: _stage_fine(sx, sm, tx, tm, gg, cfg, fbucket)
+        )(a[0], a[1], b[0], b[1], g)
+
+    pf = spec.fine
+    fine = run_fine(pf, best.transform)
+    t2 = time.perf_counter()
+
+    # --- verification (the whole chain is already enqueued) ---------------
+    stats = np.asarray(stats_dev)
+    _warn_flat_cap(int(stats[3]), flat_cap)
+    bucket = _pow2_bucket(int(max(stats[0], stats[1])), flat_cap)
+    spec.coarse = bucket
+    coarse_ok = spec.record(pc, bucket)
+    if not coarse_ok:
+        best = run_coarse(bucket)
+    t3 = time.perf_counter()
+    stats2 = np.asarray(stats2_dev)
+    fbucket = _fine_bucket(int(max(stats2[0], stats2[1])), c1.capacity)
+    spec.fine = fbucket
+    fine_ok = spec.record(pf, fbucket)
+    if not (fine_ok and coarse_ok):
+        # a coarse mispredict invalidates the speculative fine too: its
+        # guesses were the mispredicted coarse winners
+        fine = run_fine(fbucket, best.transform)
+    t4 = time.perf_counter()
+    timer.add("coarse", ((t1 - t0) + (t3 - t2)) * 1e3, items=n)
+    timer.add("fine", ((t2 - t1) + (t4 - t3)) * 1e3, items=n)
+    return n, best, fine
 
 
 def register_pairs_pipelined(
@@ -438,12 +537,13 @@ def register_pairs_pipelined(
     """Software-pipelined batch registration over a STREAM of pair batches.
 
     ``batch_loaders`` yields thunks; each returns one ``register_pairs``-style
-    pair list.  Batch k+1's load + stack + flat/coarse stage (including its
-    host↔device stat roundtrips) runs on a worker thread while the main
-    thread runs batch k's voxel + fine stage — the reference's two [TIME]
-    stages of CONSECUTIVE batches overlap (the per-pair loop
-    /root/reference/BatchTopPartRegistration.cpp:356-532 is fully serial), so
-    pair loading, host work, and dispatch latency hide behind device compute.
+    pair list.  Batch k+1's ENTIRE dispatch chain — load + stack +
+    flat/coarse + voxel + fine, including every host↔device stat
+    roundtrip — runs on a worker thread while the main thread merely blocks
+    on batch k's device results: all host work and dispatch latency hide
+    under the previous batch's device compute, so the steady-state rate
+    approaches the pure device-compute floor (the reference's per-pair loop
+    /root/reference/BatchTopPartRegistration.cpp:356-532 is fully serial).
     Each stage additionally dispatches speculatively at the previous batch's
     capacity bucket (:class:`BucketSpec`) so the device isn't left idle
     during the bucket-stat roundtrip; a mispredict re-dispatches at the
@@ -458,29 +558,26 @@ def register_pairs_pipelined(
     timer = timer or StageTimer()
     # One BucketSpec across the stream: each stage speculatively dispatches
     # at the previous batch's bucket so the device never idles waiting on
-    # the bucket-stat roundtrip (coarse halves all run on the worker thread,
-    # fine halves on the caller's — each field has a single writer).
+    # the bucket-stat roundtrip (all dispatch halves run on the worker
+    # thread — single writer for both fields).
     spec = BucketSpec()
 
-    def coarse_half(loader):
-        pairs = loader()
-        c1, c2, best = _coarse_stage_batched(
-            pairs, cfg, flat_cap, timer, mesh, spec=spec
+    def dispatch_half(loader):
+        return _dispatch_batch_speculative(
+            loader(), cfg, flat_cap, timer, mesh, spec
         )
-        return len(pairs), c1, c2, best
-
-    def fine_half(n, c1, c2, best):
-        return _pair_results(n, c1, c2, best, cfg, timer, spec=spec)
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
         fut = None
         for loader in batch_loaders:
-            nxt = ex.submit(coarse_half, loader)
+            nxt = ex.submit(dispatch_half, loader)
             if fut is not None:
-                yield fine_half(*fut.result())
+                n, best, fine_dev = fut.result()
+                yield _fetch_pair_results(n, best, fine_dev, timer)
             fut = nxt
         if fut is not None:
-            yield fine_half(*fut.result())
+            n, best, fine_dev = fut.result()
+            yield _fetch_pair_results(n, best, fine_dev, timer)
 
 
 def register_whole_pairs(
@@ -507,7 +604,9 @@ def register_whole_pairs(
     if mesh is not None:
         c1, c2, guesses = _shard_pair_batch(mesh, n, c1, c2, guesses)
 
-    fine = _fine_stage_common(c1, c2, guesses, cfg, timer)
+    fine_dev = _fine_dispatch(c1, c2, guesses, cfg, timer)
+    with timer.stage("fine", items=0):
+        fine = jax.tree.map(np.asarray, jax.device_get(fine_dev))
     return [jax.tree.map(lambda x: x[i], fine) for i in range(n)]
 
 

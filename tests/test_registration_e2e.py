@@ -448,6 +448,86 @@ def test_pipelined_speculation_mispredict_matches_plain(monkeypatch):
 
 
 @pytest.mark.slow
+def test_coarse_mispredict_invalidates_speculative_fine(monkeypatch):
+    """Coarse bucket mispredicts while the fine bucket HITS: the speculative
+    fine was seeded with the MISPREDICTED coarse winners, so it must be
+    re-dispatched even though its own bucket matched — keeping it would
+    silently return a fine ICP started from the wrong guesses
+    (_dispatch_batch_speculative's downstream-invalidation rule)."""
+    import pctpu.pipelines.registration as regmod
+    from pctpu.pipelines.registration import (
+        register_pairs,
+        register_pairs_pipelined,
+    )
+
+    captured = {}
+    orig_spec = regmod.BucketSpec
+
+    class CaptureSpec(orig_spec):
+        def __init__(self):
+            super().__init__()
+            captured["spec"] = self
+            self.coarse_seq: list[int] = []
+            self.fine_seq: list[int] = []
+
+        def record(self, predicted, actual):
+            # record() is called once per stage in bucket order within a
+            # batch (coarse then fine) — reconstruct per-stage sequences
+            if len(self.coarse_seq) == len(self.fine_seq):
+                self.coarse_seq.append(actual)
+            else:
+                self.fine_seq.append(actual)
+            return super().record(predicted, actual)
+
+    monkeypatch.setattr(regmod, "BucketSpec", CaptureSpec)
+
+    cap = 16384
+    rng = np.random.default_rng(33)
+
+    def scene(n_clusters, n_extra_ground_bands):
+        xyz, lab = synth_scene(rng, n_clusters=n_clusters)
+        for k in range(n_extra_ground_bands):
+            # extra z-bands of ground: inflate the FULL-cloud voxel count
+            # (fine bucket) without adding any top-part (coarse) points
+            ng = 6000
+            z0 = -1.7 + 0.2 * k
+            band = np.stack([rng.uniform(-70, 70, ng), rng.uniform(-70, 70, ng),
+                             rng.uniform(z0, z0 + 0.1, ng)], 1).astype(np.float32)
+            xyz = np.concatenate([xyz, band])
+            lab = np.concatenate([lab, np.zeros(ng, np.int32)])
+        return xyz, lab.astype(np.int32)
+
+    # batch A: many clusters (60×~30 kept ≈ 1.8k top-part points → coarse
+    # bucket 2048, ~10.5k full-cloud voxel points); batch B: few clusters
+    # (coarse bucket at the 1024 floor) + extra ground bands so the fine
+    # bucket stays in batch A's 8192-multiple (~14k voxel points → 16384)
+    xa, la = scene(60, n_extra_ground_bands=0)
+    xb, lb = scene(3, n_extra_ground_bands=2)
+    a1 = make_cloud(xa, label=la, capacity=cap)
+    a2 = make_cloud(rigid(xa, -9.0, [0.5, 0.4, 0.0]), label=la, capacity=cap)
+    b1 = make_cloud(xb, label=lb, capacity=cap)
+    b2 = make_cloud(rigid(xb, 7.0, [-0.4, 0.6, 0.0]), label=lb, capacity=cap)
+    batches = [[(a1, a2, -9.0)], [(b1, b2, 7.0)]]
+    cfg = RegistrationConfig()
+    plain = [register_pairs(b, cfg, flat_cap=8192) for b in batches]
+    piped = list(register_pairs_pipelined(
+        iter([lambda b=b: b for b in batches]), cfg, flat_cap=8192))
+    for pb, qb in zip(plain, piped):
+        for (b1r, f1), (b2r, f2) in zip(pb, qb):
+            np.testing.assert_array_equal(np.asarray(b1r.transform),
+                                          np.asarray(b2r.transform))
+            np.testing.assert_array_equal(np.asarray(f1.transform),
+                                          np.asarray(f2.transform))
+            assert float(f1.fitness) == float(f2.fitness)
+    spec = captured["spec"]
+    # the scenario's precondition: coarse buckets differ across the batches,
+    # fine buckets match — otherwise this test isn't exercising the
+    # downstream-invalidation path and must be re-tuned
+    assert spec.coarse_seq[0] != spec.coarse_seq[1], spec.coarse_seq
+    assert spec.fine_seq[0] == spec.fine_seq[1], spec.fine_seq
+
+
+@pytest.mark.slow
 def test_pipelined_driver_propagates_loader_errors(tmp_path):
     """A missing PCD in a later chunk must raise cleanly out of the
     pipelined driver (the worker-thread exception propagates via the
