@@ -533,6 +533,7 @@ def register_pairs_pipelined(
     flat_cap: int = 32768,
     timer: StageTimer | None = None,
     mesh: "jax.sharding.Mesh | None" = None,
+    depth: int = 1,
 ):
     """Software-pipelined batch registration over a STREAM of pair batches.
 
@@ -551,10 +552,20 @@ def register_pairs_pipelined(
     (same programs, same buckets — only the wall-clock interleaving
     changes).
 
+    ``depth`` is how many batches may have their full dispatch chain in
+    flight beyond the one being fetched (device-queue depth).  ``depth=1``
+    is classic one-deep pipelining; deeper keeps the device queue nonempty
+    across a result-fetch stall at ~``depth`` extra batches of device
+    memory.  Results are identical at any depth — only wall-clock
+    interleaving changes.
+
     Yields one result list per batch, in order.
     """
+    import collections
     import concurrent.futures
 
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
     timer = timer or StageTimer()
     # One BucketSpec across the stream: each stage speculatively dispatches
     # at the previous batch's bucket so the device never idles waiting on
@@ -568,15 +579,14 @@ def register_pairs_pipelined(
         )
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
-        fut = None
+        futs = collections.deque()
         for loader in batch_loaders:
-            nxt = ex.submit(dispatch_half, loader)
-            if fut is not None:
-                n, best, fine_dev = fut.result()
+            futs.append(ex.submit(dispatch_half, loader))
+            if len(futs) > depth:
+                n, best, fine_dev = futs.popleft().result()
                 yield _fetch_pair_results(n, best, fine_dev, timer)
-            fut = nxt
-        if fut is not None:
-            n, best, fine_dev = fut.result()
+        while futs:
+            n, best, fine_dev = futs.popleft().result()
             yield _fetch_pair_results(n, best, fine_dev, timer)
 
 

@@ -369,19 +369,27 @@ def test_register_pairs_pipelined_matches_plain():
     c1 = make_cloud(xyz[:3500], label=labels[:3500], capacity=cap)
     c2 = make_cloud(rigid(xyz[:3500], 10.0, [0.5, -0.5, 0.0]),
                     label=labels[:3500], capacity=cap)
-    batches = [[(c1, c2, 10.0)] * 2, [(c2, c1, -10.0)] * 2]
+    batches = [[(c1, c2, 10.0)] * 2, [(c2, c1, -10.0)] * 2,
+               [(c1, c2, 10.0)] * 2]
     cfg = RegistrationConfig()
     plain = [register_pairs(b, cfg, flat_cap=2048) for b in batches]
-    piped = list(register_pairs_pipelined(
-        iter([lambda b=b: b for b in batches]), cfg, flat_cap=2048))
-    assert len(piped) == len(plain)
-    for pb, qb in zip(plain, piped):
-        for (b1, f1), (b2, f2) in zip(pb, qb):
-            np.testing.assert_array_equal(np.asarray(b1.transform),
-                                          np.asarray(b2.transform))
-            np.testing.assert_array_equal(np.asarray(f1.transform),
-                                          np.asarray(f2.transform))
-            assert float(f1.fitness) == float(f2.fitness)
+    # depth > 1 keeps several dispatch chains in flight; results must be
+    # identical at every depth (same programs + buckets, different
+    # wall-clock interleaving), including depth >= number of batches
+    for depth in (1, 2, 5):
+        piped = list(register_pairs_pipelined(
+            iter([lambda b=b: b for b in batches]), cfg, flat_cap=2048,
+            depth=depth))
+        assert len(piped) == len(plain)
+        for pb, qb in zip(plain, piped):
+            for (b1, f1), (b2, f2) in zip(pb, qb):
+                np.testing.assert_array_equal(np.asarray(b1.transform),
+                                              np.asarray(b2.transform))
+                np.testing.assert_array_equal(np.asarray(f1.transform),
+                                              np.asarray(f2.transform))
+                assert float(f1.fitness) == float(f2.fitness)
+    with pytest.raises(ValueError, match="depth"):
+        list(register_pairs_pipelined(iter([]), cfg, depth=0))
 
 
 @pytest.mark.slow
