@@ -539,13 +539,12 @@ def verify_on_device() -> str:
     return "ok"
 
 
-def measure_registration(return_stages: bool = False):
-    """Fused two-stage registration pairs/sec on 65k-point synthetic scenes.
-
-    ``return_stages=True`` also returns the measured per-pair stage wall
-    times (the reference's two [TIME] spans) from the pipelined run."""
+def registration_scene():
+    """The bench's 65k-point registration pair (40 vertical clusters + flat
+    ground, 17° yaw + translation), device-resident at capacity 65536.
+    Shared by `measure_registration` and the device-floor probe
+    (`scripts/probe_registration_floor.py`)."""
     from pctpu.cloud import make_cloud
-    from pctpu.pipelines.registration import register_pair
 
     rng = np.random.default_rng(0)
     pts, labels = [], []
@@ -571,6 +570,21 @@ def measure_registration(return_stages: bool = False):
 
     c1 = jax.device_put(make_cloud(xyz, label=lab, capacity=65536))
     c2 = jax.device_put(make_cloud(xyz2, label=lab, capacity=65536))
+    return c1, c2
+
+
+def measure_registration(return_stages: bool = False, depth: int = 1,
+                         offset_base: int = 100):
+    """Fused two-stage registration pairs/sec on 65k-point synthetic scenes.
+
+    ``return_stages=True`` also returns the measured per-pair stage wall
+    times (the reference's two [TIME] spans) from the pipelined run.
+    ``depth`` is the pipeline's device-queue depth; ``offset_base`` shifts
+    the perturbation offsets so repeated probes in one process never
+    re-present bit-identical inputs (the axon runtime value-caches them)."""
+    import jax
+
+    c1, c2 = registration_scene()
     # clouds live on device (the production pipeline streams them in via the
     # async loader, overlapped with compute); pairs run batched — each stage
     # is one vmapped dispatch over the pair axis
@@ -615,11 +629,11 @@ def measure_registration(return_stages: bool = False):
     # halves fully overlap — 3 batches under-reported the steady-state rate
     # the batch driver reaches on real match lists (hundreds of pairs)
     n_batches = 6
-    built = [batch(100 + n_pairs * i) for i in range(n_batches)]
+    built = [batch(offset_base + n_pairs * i) for i in range(n_batches)]
     t0 = time.perf_counter()
     for _ in register_pairs_pipelined(
         iter([lambda b=b: b for b in built]), cfg, flat_cap=32768,
-        timer=stage_timer,
+        timer=stage_timer, depth=depth,
     ):
         pass
     pps = n_batches * n_pairs / (time.perf_counter() - t0)
