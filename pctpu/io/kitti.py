@@ -24,6 +24,10 @@ import numpy as np
 N_SCAN = 64
 HORIZON_SCAN = 2083
 MAX_NUM_POINTS = N_SCAN * HORIZON_SCAN
+# the dead raw-variant selector reads up to 64*2250 points
+# (/root/reference/KittiRawPointCloudSelect.cpp:141) into the same
+# 64×2083 structured grid
+RAW_MAX_NUM_POINTS = N_SCAN * 2250
 
 # KITTI camera↔lidar extrinsic (/root/reference/KittiPointCloudSelect.cpp:399-403)
 LIDAR_WRT_CAM = np.array(
@@ -101,12 +105,51 @@ def assign_rings(points: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray
     return row, col, assigned
 
 
-def structure_cloud(points: np.ndarray, keep_intensity: bool = False) -> dict[str, np.ndarray]:
+def assign_rings_raw(points: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The dead raw-variant's ring segmentation: every upward zero crossing
+    of the azimuth starts a new ring — there is NO minimum-ring-length guard
+    (/root/reference/KittiRawPointCloudSelect.cpp:180-204, contrast the live
+    selector's ``0.60 * Horizon_SCAN`` gate).  ring starts at 0 when the
+    first azimuth is positive, else -1 (:165-170); point 0 is never assigned
+    (the loop starts at i=1).  Column math is shared with the live selector
+    (same round/wrap expressions, :187-195)."""
+    n = len(points)
+    az = (
+        np.arctan2(points[:, 1], points[:, 0]).astype(np.float64) / np.pi * 180.0
+    ).astype(np.float32)
+    row = np.full(n, -1, np.int32)
+    if n == 0:
+        return row, np.empty(0, np.int32), np.zeros(0, bool)
+    boundary = np.zeros(n, np.int32)
+    boundary[1:] = ((az[:-1] <= 0) & (az[1:] > 0)).astype(np.int32)
+    init = 0 if az[0] > 0 else -1
+    ring_at = init + np.cumsum(boundary, dtype=np.int32)
+    row[1:] = ring_at[1:]
+
+    from pctpu.ops.rounding import c_round_np
+
+    semi = np.where(az >= 360.0, az - np.float32(360.0), az)
+    semi = np.where(semi < 0.0, semi + np.float32(360.0), semi)
+    col = c_round_np(semi.astype(np.float64) / (360.0 / HORIZON_SCAN)).astype(np.int32)
+    col = np.where(col >= HORIZON_SCAN, col - HORIZON_SCAN, col)
+    col = np.where(col < 0, col + HORIZON_SCAN, col)
+
+    assigned = (row >= 0) & (row < N_SCAN)
+    return row, col, assigned
+
+
+def structure_cloud(
+    points: np.ndarray,
+    keep_intensity: bool = False,
+    rings: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> dict[str, np.ndarray]:
     """Scatter points into the dense 64×2083 grid (later points win),
     returning XYZIRCT field arrays of length 64*2083.
 
     ``keep_intensity=False`` reproduces the reference's intensity=-1
-    overwrite (/root/reference/KittiPointCloudSelect.cpp:238)."""
+    overwrite (/root/reference/KittiPointCloudSelect.cpp:238).  ``rings``
+    overrides the (row, col, assigned) assignment — the raw-variant selector
+    passes :func:`assign_rings_raw`'s output here."""
     g = MAX_NUM_POINTS
     out = {
         "x": np.zeros(g, np.float32),
@@ -118,7 +161,7 @@ def structure_cloud(points: np.ndarray, keep_intensity: bool = False) -> dict[st
         "t": np.zeros(g, np.uint32),
         "label": np.zeros(g, np.int16),
     }
-    row, col, assigned = assign_rings(points)
+    row, col, assigned = assign_rings(points) if rings is None else rings
     sel = np.flatnonzero(assigned)
     idx = row[sel] * HORIZON_SCAN + col[sel]
     # numpy fancy assignment applies in order → later duplicate indices win,
@@ -133,10 +176,11 @@ def structure_cloud(points: np.ndarray, keep_intensity: bool = False) -> dict[st
     return out
 
 
-def read_global_poses(path: str) -> np.ndarray:
-    """Parse KITTI ``global_pose.txt`` (12 floats per row, row-major 3×4
-    camera pose) into (N, 4, 4) float64 homogeneous **lidar** poses via the
-    extrinsic conjugation (/root/reference/KittiPointCloudSelect.cpp:248-309)."""
+def _read_pose_matrices(path: str) -> np.ndarray:
+    """Parse a KITTI 12-fields-per-row pose file into (N, 4, 4) float64
+    homogeneous matrices; a short row ends the parse (the references'
+    ``row.size()!=12 break``, KittiPointCloudSelect.cpp:270-272 /
+    KittiRawPointCloudSelect.cpp:239-240)."""
     rows = []
     with open(path) as f:
         for line in f:
@@ -146,8 +190,25 @@ def read_global_poses(path: str) -> np.ndarray:
             rows.append([float(v) for v in vals[:12]])
     mats = np.zeros((len(rows), 4, 4), np.float64)
     mats[:, 3, 3] = 1.0
-    mats[:, :3, :4] = np.asarray(rows, np.float64).reshape(-1, 3, 4)
+    if rows:
+        mats[:, :3, :4] = np.asarray(rows, np.float64).reshape(-1, 3, 4)
+    return mats
+
+
+def read_global_poses(path: str) -> np.ndarray:
+    """Parse KITTI ``global_pose.txt`` (12 floats per row, row-major 3×4
+    camera pose) into (N, 4, 4) float64 homogeneous **lidar** poses via the
+    extrinsic conjugation (/root/reference/KittiPointCloudSelect.cpp:248-309)."""
+    mats = _read_pose_matrices(path)
     return CAM_WRT_LIDAR[None] @ mats @ np.linalg.inv(CAM_WRT_LIDAR)[None]
+
+
+def read_raw_gt_poses(path: str) -> np.ndarray:
+    """The raw-variant's pose read: the 12-field rows are used DIRECTLY as
+    homogeneous matrices — no camera→lidar extrinsic conjugation
+    (/root/reference/KittiRawPointCloudSelect.cpp:222-262; the axis shuffle
+    into Pose6f happens at the selector layer, :252-259)."""
+    return _read_pose_matrices(path)
 
 
 def read_timestamps(path: str) -> list[int]:

@@ -22,6 +22,7 @@ import numpy as np
 from pctpu.geom.se3 import (
     Pose6f,
     eigen_euler_angles_xyz,
+    eigen_euler_angles_zyx,
     interpolate_pose,
     quat_from_matrix,
 )
@@ -105,6 +106,95 @@ def run_kitti_select(
                 # the packed-pcd encode + disk write overlaps the next bin read
                 writer.submit(functools.partial(write_pcd, out_pcd, fields))
             f_poses.write(format_pose_entry(cloud_idx, pose))
+            keyframe_idx += 1
+            last = pos
+    log.info("Done. ")
+    return keyframe_idx
+
+
+def run_kitti_raw_select(dataset_dir: str) -> int:
+    """The dead raw-variant KITTI selector
+    (/root/reference/KittiRawPointCloudSelect.cpp:315-373; not in the
+    reference CMakeLists — kept for inventory completeness).  Differences
+    from :func:`run_kitti_select`, all reproduced here:
+
+      * fixed 2.0 m keyframe interval and FIXED output layout
+        ``selected_keyframes/`` (no interval suffix, no format file,
+        always recreated — :55, :65-67, :318-322);
+      * poses are the ``global_pose.txt`` rows used DIRECTLY (no
+        camera→lidar conjugation), with the axis shuffle
+        x=T(0,3), y=T(2,3), z=T(1,3) and Eigen eulerAngles(2,1,0)
+        (roll=e[2], pitch=e[1], yaw=e[0]) (:250-259);
+      * pose CSV rows are just ``x,y,z,roll,pitch,yaw`` at %.6f — no
+        leading cloud index, no rotation-matrix columns (:356-358);
+      * ring segmentation has no minimum-length guard
+        (:func:`pctpu.io.kitti.assign_rings_raw`), and up to 64*2250
+        points are read per .bin (:141);
+      * a missing .bin saves an EMPTY cloud (0 points) after a stderr
+        complaint instead of aborting (:135-138).
+
+    Divergences from C UB (README ledger): the reference's EOF read loop
+    (:142-152) pushes one trailing uninitialized point per .bin and its
+    ``t`` field is never written (garbage bytes in the saved PCD); we
+    read exact records and zero-fill ``t``.
+    """
+    root = dataset_dir.rstrip("/") + "/"
+    out_root = root + "selected_keyframes/"
+    cloud_dir = out_root + "keyframe_point_cloud/"
+    for d in (out_root, cloud_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        os.makedirs(d, exist_ok=True)
+
+    gt = kitti.read_raw_gt_poses(root + "global_pose.txt")
+    log.info(f"Finish reading all gt pose, total {len(gt)} entries. ")
+    stamps = kitti.read_timestamps(root + "times.txt")
+    log.info(f"Finish reading all cloud timestamps, total {len(stamps)} entries. ")
+    if len(gt) != len(stamps):
+        raise ValueError(
+            "Numbers of gt poses do NOT agree with the number of velodyne point clouds."
+        )
+
+    # pose members are f32 casts of the (axis-shuffled) double entries; the
+    # keyframe distance is computed over them in f32 (:300-306)
+    positions = np.stack(
+        [gt[:, 0, 3], gt[:, 2, 3], gt[:, 1, 3]], axis=1
+    ).astype(np.float32)
+    keep = greedy_keyframe_mask(positions, 2.0)
+
+    from pctpu.runtime.writer import AsyncWriter
+
+    keyframe_idx = 0
+    last = np.array([-1e10, -1e10, 0.0], np.float32)
+    with open(out_root + "keyframe_pose.csv", "w") as f_poses, AsyncWriter() as writer:
+        for cloud_idx in range(len(stamps)):
+            if not keep[cloud_idx]:
+                continue
+            pos = positions[cloud_idx]
+            log.info(
+                f"Saving keyframe: {keyframe_idx}, dist to last keyframe: "
+                f"{_dist32(pos, last)}"
+            )
+            euler = eigen_euler_angles_zyx(gt[cloud_idx, :3, :3])
+            vals = [pos[0], pos[1], pos[2],
+                    np.float32(euler[2]), np.float32(euler[1]), np.float32(euler[0])]
+            out_pcd = f"{cloud_dir}{keyframe_idx:06d}.pcd"
+            bin_path = f"{root}velodyne/{cloud_idx:06d}.bin"
+            if os.path.exists(bin_path):
+                points = kitti.read_bin(bin_path, kitti.RAW_MAX_NUM_POINTS)
+                fields = kitti.structure_cloud(
+                    points, rings=kitti.assign_rings_raw(points)
+                )
+            else:
+                log.error(f"Failed to open point cloud file: {bin_path}")
+                fields = {
+                    k: np.zeros(0, v.dtype)
+                    for k, v in kitti.structure_cloud(
+                        np.zeros((0, 4), np.float32)
+                    ).items()
+                }
+            writer.submit(functools.partial(write_pcd, out_pcd, fields))
+            f_poses.write(",".join(f"{float(v):.6f}" for v in vals) + "\n")
             keyframe_idx += 1
             last = pos
     log.info("Done. ")

@@ -56,6 +56,31 @@ def make_kitti_tree(root: str, num_frames: int = 6, spacing: float = 3.0) -> Non
         f.write("\n".join(f"{i * 0.1:.6e}" for i in range(num_frames)) + "\n")
 
 
+def make_kitti_raw_tree(root: str, num_frames: int = 5, spacing: float = 3.0) -> None:
+    """A KITTI tree for the RAW-variant selector: ``global_pose.txt`` rows
+    are the lidar poses DIRECTLY (no camera extrinsic), with distinct
+    translation components per axis so the raw selector's x/y/z shuffle
+    (x=T03, y=T23, z=T13) is observable."""
+    rng = np.random.default_rng(3)
+    os.makedirs(os.path.join(root, "velodyne"), exist_ok=True)
+    rows = []
+    for idx in range(num_frames):
+        scan = synth_kitti_scan(rng)
+        scan.tofile(os.path.join(root, "velodyne", f"{idx:06d}.bin"))
+        t = np.eye(4)
+        yaw = 0.04 * idx
+        c, s = np.cos(yaw), np.sin(yaw)
+        t[:2, :2] = [[c, -s], [s, c]]
+        t[0, 3] = spacing * idx  # raw pose .x
+        t[1, 3] = 10.0 + idx     # raw pose .z
+        t[2, 3] = 5.0            # raw pose .y
+        rows.append(" ".join(f"{v:.9e}" for v in t[:3, :4].reshape(-1)))
+    with open(os.path.join(root, "global_pose.txt"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+    with open(os.path.join(root, "times.txt"), "w") as f:
+        f.write("\n".join(f"{i * 0.1:.6e}" for i in range(num_frames)) + "\n")
+
+
 def make_mulran_tree(root: str, num_frames: int = 5, spacing_m: float = 3.0) -> None:
     """A MulRan-layout tree: sensor_data/Ouster/*.bin + stamps + global_pose.csv."""
     rng = np.random.default_rng(1)

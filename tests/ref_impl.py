@@ -24,6 +24,62 @@ def _bev_cell(coord: float, max_range: float, interval: float = 1.0) -> int:
     return c_round(float(t) + 0.5)
 
 
+def kitti_raw_structured_ref(points: np.ndarray) -> dict[str, np.ndarray]:
+    """Literal transcription of the raw-variant selector's structuring loop
+    (/root/reference/KittiRawPointCloudSelect.cpp:155-206): azimuth per
+    point, ring++ on every upward zero crossing (no length guard), column
+    from C round of the semi-positive azimuth, sequential overwrite into the
+    dense 64×2083 grid with label=-2 / intensity=-1.  UB is resolved the
+    way pctpu documents it: ``t`` zero-filled, no trailing EOF point."""
+    n_scan, h = 64, 2083
+    n = len(points)
+    az = np.empty(n, np.float32)
+    for i in range(n):
+        # ::atan2 on promoted floats → double, /M_PI*180.0f in double,
+        # stored into a float vector (:156-160)
+        az[i] = np.float32(
+            math.atan2(float(points[i, 1]), float(points[i, 0])) / math.pi * 180.0
+        )
+    grid = {
+        "x": np.zeros(n_scan * h, np.float32),
+        "y": np.zeros(n_scan * h, np.float32),
+        "z": np.zeros(n_scan * h, np.float32),
+        "intensity": np.zeros(n_scan * h, np.float32),
+        "row": np.zeros(n_scan * h, np.uint16),
+        "col": np.zeros(n_scan * h, np.uint16),
+        "t": np.zeros(n_scan * h, np.uint32),
+        "label": np.zeros(n_scan * h, np.int16),
+    }
+    if n == 0:
+        return grid
+    ring = 0 if az[0] > 0 else -1
+    for i in range(1, n):
+        if az[i - 1] <= 0 and az[i] > 0:
+            ring += 1
+        # makeAngleSemiPositive is f32 (:105-114); the divide promotes to
+        # double (360.0 literal), std::round, cast to int (:187-188)
+        a = az[i]
+        if a >= 360.0:
+            a = np.float32(a - np.float32(360.0))
+        elif a < 0:
+            a = np.float32(a + np.float32(360.0))
+        col = c_round(float(a) / (360.0 / h))
+        if 0 <= ring < n_scan:
+            if col >= h:
+                col -= h
+            elif col < 0:
+                col += h
+            cell = ring * h + col
+            grid["x"][cell] = points[i, 0]
+            grid["y"][cell] = points[i, 1]
+            grid["z"][cell] = points[i, 2]
+            grid["intensity"][cell] = -1.0
+            grid["row"][cell] = ring
+            grid["col"][cell] = col
+            grid["label"][cell] = -2
+    return grid
+
+
 def ordered_cloud_ref(points: list[dict], n_scan: int, horizon_scan: int) -> list[dict]:
     """getOrderedCloud (/root/reference/BatchMultiBevGen.cpp:94-117)."""
     zero = {"x": 0.0, "y": 0.0, "z": 0.0, "intensity": 0.0, "row": 0, "col": 0, "t": 0, "label": 0}

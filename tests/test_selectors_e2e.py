@@ -267,3 +267,105 @@ def test_kitti_pose_count_mismatch_raises(tmp_path):
     open(times, "w").write("\n".join(lines[:-1]) + "\n")
     with pytest.raises(ValueError, match="do NOT agree"):
         run_kitti_select(root, 2.0)
+
+
+# --- the dead raw-variant KITTI selector ------------------------------------
+
+
+def test_kitti_raw_structuring_matches_oracle():
+    """Vectorized raw structuring (assign_rings_raw + structure_cloud) is
+    byte-identical to the plain-loop transcription of
+    KittiRawPointCloudSelect.cpp:155-206, including spurious unguarded
+    rings, >64-ring overflow drops, and the never-assigned point 0."""
+    from pctpu.io import kitti
+
+    from .fixtures import synth_kitti_scan
+    from .ref_impl import kitti_raw_structured_ref
+
+    rng = np.random.default_rng(11)
+    scans = [
+        synth_kitti_scan(rng),                       # clean sweeps
+        rng.normal(0, 20, (4000, 4)).astype(np.float32),  # noisy: many rings
+        synth_kitti_scan(rng, rings=70, per_ring=40),     # ring overflow >64
+        np.zeros((0, 4), np.float32),                # empty .bin
+    ]
+    # negative-start scan: first azimuth <= 0 → ring starts at -1
+    neg = synth_kitti_scan(rng)
+    neg[0, :2] = [1.0, -0.5]
+    scans.append(neg)
+    for scan in scans:
+        got = kitti.structure_cloud(scan, rings=kitti.assign_rings_raw(scan))
+        want = kitti_raw_structured_ref(scan)
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+def test_kitti_raw_select_e2e(tmp_path):
+    from pctpu.pipelines.selectors import run_kitti_raw_select
+
+    from .fixtures import make_kitti_raw_tree
+
+    root = str(tmp_path / "kraw")
+    make_kitti_raw_tree(root, num_frames=5, spacing=3.0)
+    n = run_kitti_raw_select(root)
+    assert n == 5  # per-step shuffled-coords distance ~3.16 m > fixed 2 m
+    out = os.path.join(root, "selected_keyframes")
+    cloud_dir = os.path.join(out, "keyframe_point_cloud")
+    files = sorted(os.listdir(cloud_dir))
+    assert files == [f"{i:06d}.pcd" for i in range(5)]
+    data, meta = read_pcd(os.path.join(cloud_dir, "000000.pcd"))
+    assert meta["points"] == 64 * 2083
+    filled = data["label"] == -2
+    assert filled.any()
+    assert np.all(data["intensity"][filled] == -1.0)
+
+    # pose rows: x,y,z,roll,pitch,yaw at %.6f — no index, no rotation cols;
+    # x/y/z shuffled from T(0,3)/T(2,3)/T(1,3) and eulers from
+    # eulerAngles(2,1,0)
+    lines = open(os.path.join(out, "keyframe_pose.csv")).read().strip().split("\n")
+    assert len(lines) == 5
+    for i, ln in enumerate(lines):
+        parts = ln.split(",")
+        assert len(parts) == 6
+        assert all("." in p for p in parts)  # %.6f fixed format
+        x, y, z, roll, pitch, yaw = map(float, parts)
+        assert x == pytest.approx(3.0 * i, abs=1e-5)
+        assert y == pytest.approx(5.0, abs=1e-5)       # T(2,3)
+        assert z == pytest.approx(10.0 + i, abs=1e-5)  # T(1,3)
+        assert yaw == pytest.approx(0.04 * i, abs=1e-5)
+        assert roll == pytest.approx(0.0, abs=1e-5)
+
+    # rerunning always recreates the output tree (the reference rm -r's it)
+    assert run_kitti_raw_select(root) == 5
+
+
+def test_kitti_raw_missing_bin_writes_empty_cloud(tmp_path):
+    """A missing .bin saves an EMPTY cloud after a stderr complaint
+    (KittiRawPointCloudSelect.cpp:135-138 returns the unfilled cloud) —
+    unlike the live selector, nothing is skipped."""
+    from pctpu.pipelines.selectors import run_kitti_raw_select
+
+    from .fixtures import make_kitti_raw_tree
+
+    root = str(tmp_path / "kraw")
+    make_kitti_raw_tree(root, num_frames=4)
+    os.remove(os.path.join(root, "velodyne", "000002.bin"))
+    assert run_kitti_raw_select(root) == 4
+    cloud_dir = os.path.join(root, "selected_keyframes", "keyframe_point_cloud")
+    assert sorted(os.listdir(cloud_dir)) == [f"{i:06d}.pcd" for i in range(4)]
+    data, meta = read_pcd(os.path.join(cloud_dir, "000002.pcd"))
+    assert meta["points"] == 0 and len(data["x"]) == 0
+
+
+def test_kitti_raw_cli(tmp_path, capsys):
+    from pctpu.cli.kitti_raw_point_cloud_select import main
+
+    from .fixtures import make_kitti_raw_tree
+
+    root = str(tmp_path / "kraw")
+    make_kitti_raw_tree(root, num_frames=3)
+    assert main([root]) == 0
+    assert os.path.isdir(os.path.join(root, "selected_keyframes"))
+    with pytest.raises(SystemExit):
+        main([])
