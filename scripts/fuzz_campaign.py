@@ -64,6 +64,11 @@ def main() -> int:
                          "oracle (native/ref_oracle.cpp): pctpu vs C++ "
                          "byte-diff every case (fast), plus the Python "
                          "oracle as a third implementation every 4th case")
+    ap.add_argument("--kitti-raw", type=int, default=0,
+                    help="also run N raw-variant KITTI structuring cases "
+                         "(assign_rings_raw + structure_cloud) byte-diffed "
+                         "vs the plain-loop oracle, mixing clean sweeps, "
+                         "noise, zero-azimuth knife edges and ring overflow")
     args = ap.parse_args()
 
     import jax
@@ -215,6 +220,8 @@ def main() -> int:
         failures += run_adversarial_sweep(args.start, args.adversarial)
     if args.native:
         failures += run_native_sweep(args.start, args.native)
+    if args.kitti_raw:
+        failures += run_kitti_raw_sweep(args.start, args.kitti_raw)
 
     print(
         f"DONE: {n_done} cases in {time.time() - t0:.0f}s, "
@@ -740,6 +747,70 @@ def run_twostage_sweep(start: int, target_asserted: int) -> int:
         f"(seeds {start + 1}..{seed}), failures={failures}",
         flush=True,
     )
+    return failures
+
+
+def run_kitti_raw_sweep(start: int, n_cases: int) -> int:
+    """Fresh-seed byte-diff of the raw-variant KITTI structuring
+    (pctpu.io.kitti.assign_rings_raw + structure_cloud) against the
+    plain-loop oracle (tests/ref_impl.kitti_raw_structured_ref).
+
+    Scan regimes rotate per case: clean descending sweeps (reference-shaped
+    rings), pure noise (spurious unguarded rings), azimuth knife edges
+    (points exactly on the +x axis, az == 0, and tiny ±y jitter around the
+    crossing), and >64-ring overflow.  Empty scans every 16th case."""
+    from pctpu.io import kitti
+
+    from tests import ref_impl
+
+    failures = 0
+    for case in range(n_cases):
+        seed = start + case
+        rng = np.random.default_rng(seed)
+        regime = case % 4
+        if case % 16 == 15:
+            scan = np.zeros((0, 4), np.float32)
+        elif regime == 0:
+            rings = int(rng.integers(1, 10))
+            per = int(rng.integers(5, 900))
+            pts = []
+            for k in range(rings):
+                az = np.linspace(179.0, -179.0, per) + rng.normal(0, 0.5, per)
+                r = rng.uniform(2.0, 70.0, per)
+                pts.append(np.stack([
+                    r * np.cos(np.radians(az)), r * np.sin(np.radians(az)),
+                    rng.uniform(-2, 6, per), rng.random(per)], 1))
+            scan = np.concatenate(pts).astype(np.float32)
+        elif regime == 1:
+            scan = rng.normal(0, 25, (int(rng.integers(1, 2500)), 4)).astype(
+                np.float32)
+        elif regime == 2:
+            n = int(rng.integers(4, 400))
+            x = rng.uniform(1.0, 50.0, n)
+            y = np.where(rng.random(n) < 0.5, 0.0,
+                         rng.choice([-1, 1], n) * 10.0 ** rng.uniform(-8, -1, n))
+            scan = np.stack([x, y, rng.uniform(-2, 6, n), rng.random(n)],
+                            1).astype(np.float32)
+        else:
+            per = int(rng.integers(2, 30))
+            pts = []
+            for k in range(int(rng.integers(60, 90))):
+                az = np.linspace(170.0, -170.0, per)
+                r = rng.uniform(2.0, 70.0, per)
+                pts.append(np.stack([
+                    r * np.cos(np.radians(az)), r * np.sin(np.radians(az)),
+                    rng.uniform(-2, 6, per), rng.random(per)], 1))
+            scan = np.concatenate(pts).astype(np.float32)
+        got = kitti.structure_cloud(scan, rings=kitti.assign_rings_raw(scan))
+        want = ref_impl.kitti_raw_structured_ref(scan)
+        for k in want:
+            if not np.array_equal(got[k], want[k]):
+                failures += 1
+                print(f"FAIL kitti_raw field={k} seed={seed} regime={regime}",
+                      flush=True)
+                break
+    print(f"kitti_raw structuring: {n_cases} cases, failures={failures}",
+          flush=True)
     return failures
 
 

@@ -35,11 +35,11 @@ def kitti_raw_structured_ref(points: np.ndarray) -> dict[str, np.ndarray]:
     n = len(points)
     az = np.empty(n, np.float32)
     for i in range(n):
-        # ::atan2 on promoted floats → double, /M_PI*180.0f in double,
-        # stored into a float vector (:156-160)
-        az[i] = np.float32(
-            math.atan2(float(points[i, 1]), float(points[i, 0])) / math.pi * 180.0
-        )
+        # std::atan2's FLOAT overload (both selectors share the expression,
+        # KittiPointCloudSelect.cpp:189-193), then /M_PI*180.0f promotes to
+        # double, stored into a float vector (:156-160)
+        a32 = np.arctan2(np.float32(points[i, 1]), np.float32(points[i, 0]))
+        az[i] = np.float32(float(a32) / math.pi * 180.0)
     grid = {
         "x": np.zeros(n_scan * h, np.float32),
         "y": np.zeros(n_scan * h, np.float32),
