@@ -1,7 +1,9 @@
 """CLI: cloud_manip — argv contract of /root/reference/CloudManip.cpp:111-161
 (``cloud_manip <pcd> tx ty tz yaw_deg``).  ``--snapshot=out.png`` writes a
 headless render of the viewer scene (input red, output green,
-CloudManip.cpp:143-158); ``--snapshot-view=front`` for the elevation view."""
+CloudManip.cpp:143-158); ``--snapshot-view=front`` for the elevation view;
+``--html=out.html`` writes the same scene as a standalone interactive
+WebGL viewer (pctpu.io.html_viewer)."""
 
 import math
 import sys
@@ -24,6 +26,7 @@ def main(argv=None) -> int:
         output_dir=kw.get("output_dir", "."),
         snapshot=path_kw(kw, "snapshot"),
         snapshot_view=kw.get("snapshot_view", "top"),
+        html=path_kw(kw, "html"),
     )
     return 0
 

@@ -2,7 +2,9 @@
 (``pointcloud_pca_test <pcd>``); prints eigenvalues/vectors.
 ``--snapshot=out.png`` writes a headless render of the reference's arrow
 viewer (filtered cloud red on white, principal-axis arrows eigvec×200 from
-the centroid colored blue/green/red, /root/reference/main.cpp:100-135)."""
+the centroid colored blue/green/red, /root/reference/main.cpp:100-135);
+``--html=out.html`` writes the same scene as a standalone interactive
+WebGL viewer."""
 
 import sys
 
@@ -46,6 +48,15 @@ def main(argv=None) -> int:
             background=(255, 255, 255),
         )
         write_rgb_png(snapshot, img)
+
+    html = path_kw(kw, "html")
+    if html:
+        from pctpu.io.html_viewer import write_pca_test_html
+
+        write_pca_test_html(
+            html, np.asarray(xyz), np.asarray(keep), np.asarray(mu),
+            np.asarray(vecs),
+        )
     return 0
 
 

@@ -4,7 +4,8 @@ Mirrors /root/reference/TopPartRegistration.cpp:256-455 including the
 per-stage ``[TIME]`` reports (:318-326).  The interactive viewer (flat cloud
 red with every-10th-point normal whiskers of length 2 on black,
 TopPartRegistration.cpp:367-385) is replaced by an optional headless
-snapshot PNG of the same scene (``--snapshot=out.png``)."""
+snapshot PNG of the same scene (``--snapshot=out.png``) and/or a
+standalone interactive WebGL viewer (``--html=out.html``)."""
 
 import sys
 
@@ -42,11 +43,10 @@ def main(argv=None) -> int:
     )
 
     snapshot = path_kw(kw, "snapshot")
-    if snapshot:
+    html = path_kw(kw, "html")
+    if snapshot or html:
         from pctpu.config import RegistrationConfig
-        from pctpu.io.png import write_rgb_png
         from pctpu.ops.normals2d import normals_2d
-        from pctpu.ops.render import Layer, render_snapshot, segment_points
         from pctpu.ops.topflatten import extract_top_and_flatten
         from pctpu.ops.voxel import voxel_downsample
 
@@ -61,6 +61,10 @@ def main(argv=None) -> int:
         pts = np.asarray(vx)
         ok = np.asarray(vm & n_ok)
         normals = np.asarray(nrm)
+    if snapshot:
+        from pctpu.io.png import write_rgb_png
+        from pctpu.ops.render import Layer, render_snapshot, segment_points
+
         every10 = ok & (np.arange(pts.shape[0]) % 10 == 0)
         whiskers = segment_points(
             pts[every10], pts[every10] + 2.0 * normals[every10]
@@ -74,6 +78,10 @@ def main(argv=None) -> int:
             background=(0, 0, 0),
         )
         write_rgb_png(snapshot, img)
+    if html:
+        from pctpu.io.html_viewer import write_top_part_html
+
+        write_top_part_html(html, pts, np.asarray(vm), normals, ok)
     return 0
 
 

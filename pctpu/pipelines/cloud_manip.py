@@ -33,6 +33,7 @@ def run_cloud_manip(
     output_dir: str = ".",
     snapshot: str | None = None,
     snapshot_view: str = "top",
+    html: str | None = None,
 ) -> dict[str, np.ndarray]:
     """Returns {'input': bev, 'output': bev} float BEVs and writes all files.
 
@@ -73,4 +74,13 @@ def run_cloud_manip(
             background=(13, 13, 13),  # the viewer's 0.05 gray
         )
         write_rgb_png(snapshot, img)
+
+    if html is not None:
+        from pctpu.io.html_viewer import write_cloud_manip_html
+
+        write_cloud_manip_html(
+            html,
+            np.asarray(cloud.xyz), np.asarray(cloud.valid_mask()),
+            np.asarray(out_cloud.xyz), np.asarray(out_cloud.valid_mask()),
+        )
     return {"input": bev_in, "output": bev_out}
