@@ -117,6 +117,18 @@ def main() -> int:
     print(f"[demo]     -> {report}:")
     for line in open(report):
         print(f"[demo]        {line.strip()}  (diff_xy m, diff_yaw deg)")
+
+    # bonus: an interactive viewer of the first keyframe pair's manip scene
+    # (open viewer.html in any browser; replaces the reference's
+    # PCLVisualizer session, CloudManip.cpp:143-158)
+    from pctpu.pipelines.cloud_manip import run_cloud_manip
+
+    kf_dir = os.path.join(keyframes, "keyframe_point_cloud")
+    first_pcd = os.path.join(kf_dir, sorted(os.listdir(kf_dir))[0])
+    viewer = os.path.join(work, "viewer.html")
+    run_cloud_manip(first_pcd, 1.0, 2.0, 0.0, 30.0,
+                    output_dir=work, html=viewer)
+    print(f"[demo]     -> interactive viewer: {viewer}")
     print("[demo] done — outputs under", keyframes)
     return 0
 
