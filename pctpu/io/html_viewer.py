@@ -154,22 +154,26 @@ gl.enableVertexAttribArray(locPos);
 gl.enable(gl.DEPTH_TEST);
 
 // upload layers; scene bbox over point (non-line) layers sets the camera
+// (falls back to line layers when every point layer is empty, so
+// arrows-only scenes still frame correctly)
 const lo = [1e30, 1e30, 1e30], hi = [-1e30, -1e30, -1e30];
+const llo = [1e30, 1e30, 1e30], lhi = [-1e30, -1e30, -1e30];
 const layers = scene.layers.map(l => {
   const data = decode(l.data);
-  if (!l.lines) {
-    for (let i = 0; i < data.length; i += 3)
-      for (let k = 0; k < 3; k++) {
-        if (data[i + k] < lo[k]) lo[k] = data[i + k];
-        if (data[i + k] > hi[k]) hi[k] = data[i + k];
-      }
-  }
+  const blo = l.lines ? llo : lo, bhi = l.lines ? lhi : hi;
+  for (let i = 0; i < data.length; i += 3)
+    for (let k = 0; k < 3; k++) {
+      if (data[i + k] < blo[k]) blo[k] = data[i + k];
+      if (data[i + k] > bhi[k]) bhi[k] = data[i + k];
+    }
   const buf = gl.createBuffer();
   gl.bindBuffer(gl.ARRAY_BUFFER, buf);
   gl.bufferData(gl.ARRAY_BUFFER, data, gl.STATIC_DRAW);
   return {buf: buf, n: data.length / 3, color: l.color, lines: l.lines,
           psize: l.point_size, rect: l.rect};
 });
+if (lo[0] > hi[0])
+  for (let k = 0; k < 3; k++) { lo[k] = llo[k]; hi[k] = lhi[k]; }
 if (lo[0] > hi[0]) { lo.fill(-1); hi.fill(1); }
 const center0 = [(lo[0]+hi[0])/2, (lo[1]+hi[1])/2, (lo[2]+hi[2])/2];
 const radius = Math.max(1e-3, Math.hypot(hi[0]-lo[0], hi[1]-lo[1], hi[2]-lo[2]) / 2);
