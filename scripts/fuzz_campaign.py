@@ -501,14 +501,39 @@ def run_misc_sweep(start: int, n_cases: int) -> int:
     return failures
 
 
+def normals_scene(seed: int):
+    """The normals-sweep scene: anisotropic cluster + noisy line (the
+    L2-suite shape) with varied density and scale per seed.  Module-level so
+    the suite can rebuild pinned knife-edge seeds (tests/test_l2_api.py)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 200))
+    a = rng.normal(0, [rng.uniform(0.5, 4.0), rng.uniform(0.1, 1.0)],
+                   (n // 2, 2))
+    t = rng.uniform(-5, 5, n - n // 2)
+    b = np.stack([t, rng.uniform(-1, 1) * t + rng.normal(0, 0.1, len(t))], 1)
+    p2 = np.concatenate([a, b]).astype(np.float32)
+    xyz = np.concatenate([p2, np.zeros((n, 1), np.float32)], axis=1)
+    return p2, xyz
+
+
 def run_normals_sweep(start: int, n_cases: int) -> int:
     """Fresh-seed normals2d differential sweep, radius and setKSearch modes.
 
-    Scene: anisotropic cluster + noisy line (the L2-suite shape) with varied
-    density and scale per seed.  Validity masks must match the oracle exactly;
-    normals match up to the eigen-solver sign within 5e-3 (the suite's
-    tolerance — exact-perpendicular viewpoint ties are sign-ambiguous in PCL
-    too).  Returns the number of divergences.
+    Validity masks must match the oracle exactly; normals match up to the
+    eigen-solver sign within 5e-3 (the suite's tolerance —
+    exact-perpendicular viewpoint ties are sign-ambiguous in PCL too).
+
+    Neighbor-selection knife edges (ledger D3: a point whose exact d² sits
+    within the MXU-form score's rounding window of the decision boundary —
+    the radius r², or the k-th-neighbor distance in setKSearch mode) are
+    EXPLAINED, not just tolerated: the divergence is accepted only when the
+    plain oracle recomputed on the alternative neighbor set reproduces the
+    op's normal (ref_impl.normals2d_knife_edge_sets).  First hit: campaign
+    seeds 1300004 (k=2 near-tied 2nd neighbor, d²-gap 5.4e-7) and 1300047
+    (radius-4 boundary point at |d²−r²|=4.3e-6), both explained and pinned
+    in the suite.  Returns the number of UNEXPLAINED divergences.
     """
     import numpy as np
 
@@ -517,18 +542,13 @@ def run_normals_sweep(start: int, n_cases: int) -> int:
     from tests import ref_impl
 
     failures = 0
+    knife_edges = 0
     radii = (1.0, 2.0, 4.0)
     ks = (2, 5, 9, 30)
     for case in range(n_cases):
         seed = start + case
-        rng = np.random.default_rng(seed)
-        n = int(rng.integers(20, 200))
-        a = rng.normal(0, [rng.uniform(0.5, 4.0), rng.uniform(0.1, 1.0)],
-                       (n // 2, 2))
-        t = rng.uniform(-5, 5, n - n // 2)
-        b = np.stack([t, rng.uniform(-1, 1) * t + rng.normal(0, 0.1, len(t))], 1)
-        p2 = np.concatenate([a, b]).astype(np.float32)
-        xyz = np.concatenate([p2, np.zeros((n, 1), np.float32)], axis=1)
+        p2, xyz = normals_scene(seed)
+        n = len(p2)
         mask = np.ones(n, bool)
 
         # conditioning-aware tolerance: the op assembles each neighborhood
@@ -549,8 +569,13 @@ def run_normals_sweep(start: int, n_cases: int) -> int:
             amp = r_sq * len(sel) * 2.0**-23 / gap
             return max(5e-3, min(0.1, 4.0 * amp))
 
-        def check(name, nrm, ok, ref_n, ref_ok, nbr_of):
-            nonlocal failures
+        # decision-boundary rounding window of the op's MXU-form scores
+        # (|t|² − 2q·t + q² over bbox-centered coords): ~|p−c|²·2⁻²³
+        # absolute, with headroom for the sum order
+        win = 32.0 * r_sq * 2.0 ** -23
+
+        def check(name, nrm, ok, ref_n, ref_ok, nbr_of, alt_sets):
+            nonlocal failures, knife_edges
             if not np.array_equal(np.asarray(ok), ref_ok):
                 failures += 1
                 print(f"FAIL normals {name} seed={seed}: validity mask",
@@ -560,11 +585,28 @@ def run_normals_sweep(start: int, n_cases: int) -> int:
             for i in np.flatnonzero(ref_ok):
                 d = min(np.linalg.norm(ours[i] - ref_n[i]),
                         np.linalg.norm(ours[i] + ref_n[i]))
-                if d >= 5e-3 and d >= allowed(i, nbr_of(i)):
-                    failures += 1
-                    print(f"FAIL normals {name} seed={seed} i={i} d={d}",
-                          flush=True)
-                    break
+                if d < 5e-3 or d < allowed(i, nbr_of(i)):
+                    continue
+                explained = False
+                for alt in alt_sets(i):
+                    alt_n = ref_impl.normal2d_from_set(p2, i, alt)
+                    if alt_n is None:
+                        continue
+                    d_alt = min(np.linalg.norm(ours[i] - alt_n),
+                                np.linalg.norm(ours[i] + alt_n))
+                    if d_alt < 5e-3 or d_alt < allowed(i, p2[alt]):
+                        explained = True
+                        break
+                if explained:
+                    knife_edges += 1
+                    print(f"KNIFE-EDGE normals {name} seed={seed} i={i} "
+                          f"d={d:.4g} (oracle on the boundary-window "
+                          f"neighbor swap matches)", flush=True)
+                    continue
+                failures += 1
+                print(f"FAIL normals {name} seed={seed} i={i} d={d}",
+                      flush=True)
+                break
 
         d2_all = np.sum(
             (p2.astype(np.float64)[None] - p2.astype(np.float64)[:, None]) ** 2,
@@ -575,15 +617,19 @@ def run_normals_sweep(start: int, n_cases: int) -> int:
         nrm, _, ok = normals_2d(xyz, mask, radius=r)
         ref_n, ref_ok = ref_impl.normals2d_ref(xyz, radius=r)
         check(f"radius={r}", nrm, ok, ref_n, ref_ok,
-              lambda i, r=r: p2[d2_all[i] < r * r])
+              lambda i, r=r: p2[d2_all[i] < r * r],
+              lambda i, r=r: ref_impl.normals2d_knife_edge_sets(
+                  p2, i, win, radius=r))
 
         k = ks[case % len(ks)]
         nrm, _, ok = normals_2d_knn(xyz, mask, k)
         ref_n, ref_ok = ref_impl.normals2d_knn_ref(xyz, k)
         check(f"k={k}", nrm, ok, ref_n, ref_ok,
-              lambda i, k=k: p2[np.argsort(d2_all[i], kind="stable")[:k]])
-    print(f"normals2d: {n_cases} cases per mode, failures={failures}",
-          flush=True)
+              lambda i, k=k: p2[np.argsort(d2_all[i], kind="stable")[:k]],
+              lambda i, k=k: ref_impl.normals2d_knife_edge_sets(
+                  p2, i, win, k=k))
+    print(f"normals2d: {n_cases} cases per mode, failures={failures}, "
+          f"knife_edges={knife_edges} (explained)", flush=True)
     return failures
 
 

@@ -279,6 +279,91 @@ def voxel_ref(points: np.ndarray, leaf: float) -> np.ndarray:
     return np.asarray(out, np.float32)
 
 
+def normal2d_from_set(points: np.ndarray, i: int, nbr_idx) -> np.ndarray | None:
+    """Oracle per-point 2-D normal on an EXPLICIT neighbor index set,
+    mirroring normals2d_ref / normals2d_knn_ref's member math (2-pt
+    perpendicular, else PCA minor eigvec, viewpoint flip toward origin).
+
+    Used by the knife-edge explainer: when the vectorized op and the plain
+    oracle disagree at a neighbor-selection boundary (ledger D3), the
+    divergence is EXPLAINED iff the oracle recomputed on the op's plausible
+    alternative neighbor set reproduces the op's normal."""
+    pts = np.asarray(points, np.float64)[:, :2]
+    nbr_idx = np.asarray(nbr_idx, int)
+    if len(nbr_idx) < 2:
+        return None
+    d2 = np.sum((pts[nbr_idx] - pts[i]) ** 2, axis=1)
+    order = nbr_idx[np.argsort(d2, kind="stable")]
+    if len(order) == 2:
+        vect = pts[order[0]] - pts[order[1]]
+        nv = np.linalg.norm(vect)
+        if nv == 0.0:
+            return None
+        vect = vect / nv
+        nrm = np.array([-vect[1], vect[0]])
+    else:
+        sel = pts[order]
+        mu = sel.mean(axis=0)
+        d = sel - mu
+        w, v = np.linalg.eigh(d.T @ d)
+        nrm = v[:, 0]
+    if np.dot(-pts[i], nrm) < 0:
+        nrm = -nrm
+    return nrm
+
+
+def normals2d_knife_edge_sets(
+    points: np.ndarray, i: int, win: float,
+    radius: float | None = None, k: int | None = None,
+    max_ambiguous: int = 5,
+):
+    """Yield neighbor index sets reachable by reclassifying points whose
+    exact d² lies within ``win`` of the decision boundary (ledger D3).
+
+    Radius mode: boundary = r² (strict-< membership); each ambiguous point
+    may be in or out.  kNN mode: boundary = the exact k-th neighbor's d²;
+    near-tied candidates may replace in-set members (the set size stays k).
+    Yields only sets different from the exact one; gives up (yields
+    nothing) past ``max_ambiguous`` candidates — an explainer, not a prover.
+    """
+    import itertools
+
+    pts = np.asarray(points, np.float64)[:, :2]
+    d2 = np.sum((pts - pts[i]) ** 2, axis=1)
+    if radius is not None:
+        r2 = float(radius) * float(radius)
+        exact = np.flatnonzero(d2 < r2)
+        amb = np.flatnonzero(np.abs(d2 - r2) <= win)
+        if not len(amb) or len(amb) > max_ambiguous:
+            return
+        certain = np.setdiff1d(exact, amb)
+        exact_key = set(exact.tolist())
+        for take in range(len(amb) + 1):
+            for sub in itertools.combinations(amb.tolist(), take):
+                alt = np.union1d(certain, np.array(sub, int))
+                if len(alt) >= 2 and set(alt.tolist()) != exact_key:
+                    yield alt
+    else:
+        kk = min(int(k), len(pts))
+        if kk < 2:
+            return
+        order = np.argsort(d2, kind="stable")
+        boundary = d2[order[kk - 1]]
+        amb = np.flatnonzero(np.abs(d2 - boundary) <= win)
+        if not len(amb) or len(amb) > max_ambiguous:
+            return
+        amb_key = set(amb.tolist())
+        certain = [j for j in order[:kk].tolist() if j not in amb_key]
+        need = kk - len(certain)
+        if need < 0:
+            return
+        exact_key = set(order[:kk].tolist())
+        for sub in itertools.combinations(sorted(amb_key), need):
+            alt = np.array(certain + list(sub), int)
+            if set(alt.tolist()) != exact_key:
+                yield alt
+
+
 def normals2d_ref(points: np.ndarray, radius: float = 2.0):
     """Normal2dEstimation + PCA2D loops (see pctpu/ops/normals2d.py docstring).
 
