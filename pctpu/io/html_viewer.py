@@ -126,6 +126,11 @@ function decode(b64) {
 }
 const canvas = document.getElementById("gl");
 const gl = canvas.getContext("webgl", {antialias: true});
+if (!gl) {
+  document.getElementById("hud").textContent =
+    "WebGL is unavailable in this browser/context - cannot render the scene.";
+  throw new Error("WebGL context creation failed");
+}
 const VS = `
   attribute vec3 pos;
   uniform mat4 mvp;
@@ -411,11 +416,13 @@ def write_pca_test_html(
 ) -> None:
     """main.cpp:100-135: filtered cloud red on white, principal-axis arrows
     eigvec x 200 from the centroid colored blue/green/red (ascending
-    eigenvalue order, Eigen column convention), 100 m axes."""
+    eigenvalue order, Eigen column convention), 100 m axes.  The reference
+    viewer never sets a point-size property on this cloud (main.cpp:119-121),
+    so PCL renders it at the VTK default of 1 — matched here."""
     c = np.asarray(centroid, np.float32).reshape(3)
     v = np.asarray(eigvecs, np.float32).reshape(3, 3)
     arrow_colors = [(0, 0, 255), (0, 255, 0), (255, 0, 0)]
-    layers = [ViewLayer("cloud", xyz, (255, 0, 0), mask=keep)]
+    layers = [ViewLayer("cloud", xyz, (255, 0, 0), point_size=1.0, mask=keep)]
     for i, name in enumerate(["arrow_z", "arrow_y", "arrow_x"]):
         tip = c + np.float32(200.0) * v[:, i]
         layers.append(

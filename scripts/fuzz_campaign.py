@@ -571,8 +571,16 @@ def run_normals_sweep(start: int, n_cases: int) -> int:
 
         # decision-boundary rounding window of the op's MXU-form scores
         # (|t|² − 2q·t + q² over bbox-centered coords): ~|p−c|²·2⁻²³
-        # absolute, with headroom for the sum order
-        win = 32.0 * r_sq * 2.0 ** -23
+        # absolute, with headroom for the sum order.  Scaled PER (query,
+        # candidate) pair — max(|p_i−c|², |p_j−c|²), not the scene-wide
+        # maximum, so points near the bbox center don't get a window far
+        # wider than their actual rounding error (ADVICE r4: a genuine
+        # neighbor-selection bug there must not hide behind the scene's
+        # worst-case window)
+        r2_pts = np.sum((p2.astype(np.float64) - bbox_c) ** 2, axis=1)
+
+        def win_for(i):
+            return 32.0 * np.maximum(r2_pts[i], r2_pts) * 2.0 ** -23
 
         def check(name, nrm, ok, ref_n, ref_ok, nbr_of, alt_sets):
             nonlocal failures, knife_edges
@@ -619,7 +627,7 @@ def run_normals_sweep(start: int, n_cases: int) -> int:
         check(f"radius={r}", nrm, ok, ref_n, ref_ok,
               lambda i, r=r: p2[d2_all[i] < r * r],
               lambda i, r=r: ref_impl.normals2d_knife_edge_sets(
-                  p2, i, win, radius=r))
+                  p2, i, win_for(i), radius=r))
 
         k = ks[case % len(ks)]
         nrm, _, ok = normals_2d_knn(xyz, mask, k)
@@ -627,7 +635,7 @@ def run_normals_sweep(start: int, n_cases: int) -> int:
         check(f"k={k}", nrm, ok, ref_n, ref_ok,
               lambda i, k=k: p2[np.argsort(d2_all[i], kind="stable")[:k]],
               lambda i, k=k: ref_impl.normals2d_knife_edge_sets(
-                  p2, i, win, k=k))
+                  p2, i, win_for(i), k=k))
     print(f"normals2d: {n_cases} cases per mode, failures={failures}, "
           f"knife_edges={knife_edges} (explained)", flush=True)
     return failures

@@ -319,6 +319,9 @@ def normals2d_knife_edge_sets(
 ):
     """Yield neighbor index sets reachable by reclassifying points whose
     exact d² lies within ``win`` of the decision boundary (ledger D3).
+    ``win`` may be a scalar or a per-candidate (N,) array (the MXU score's
+    rounding error scales with max(|query−c|², |candidate−c|²), so callers
+    can scale the window per pair instead of scene-wide).
 
     Radius mode: boundary = r² (strict-< membership); each ambiguous point
     may be in or out.  kNN mode: boundary = the exact k-th neighbor's d²;

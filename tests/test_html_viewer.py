@@ -191,6 +191,32 @@ def test_cloud_manip_cli_html(tmp_path):
     assert back["cloud_output"].shape == want.shape
 
 
+def test_top_part_cli_html(tmp_path):
+    """--html-only invocation (no --snapshot): pins the scoping that moved
+    the scene re-derivation under `if snapshot or html` (ADVICE r4)."""
+    from tests.test_registration_e2e import rigid, synth_scene
+
+    from pctpu.cli.top_part_registration import main
+    from pctpu.cloud import make_cloud
+    from pctpu.io.pcd import save_cloud_pcd
+
+    rng = np.random.default_rng(7)
+    xyz, labels = synth_scene(rng)
+    xyz2 = rigid(xyz, 15.0, [1.0, 0.0, 0.0])
+    p1, p2 = tmp_path / "a.pcd", tmp_path / "b.pcd"
+    save_cloud_pcd(str(p1), make_cloud(xyz, label=labels, capacity=4096))
+    save_cloud_pcd(str(p2), make_cloud(xyz2, label=labels, capacity=4096))
+    out = str(tmp_path / "reg.html")
+    rc = main([str(p1), str(p2), "15.0", "--flat_cap=4096",
+               f"--html={out}"])
+    assert rc == 0
+    back = read_back_layers(out)
+    assert {"original_cloud", "normals"} <= set(back)
+    assert back["original_cloud"].shape[1] == 3
+    # whisker segments come in endpoint pairs
+    assert back["normals"].shape[0] % 2 == 0 and back["normals"].shape[0] > 0
+
+
 def _strip_js_literals(src: str) -> str:
     """Remove string/template literals and comments so delimiter counting
     sees only code structure (no JS engine exists in this image)."""
