@@ -259,20 +259,21 @@ def measure_write_ms(n_clouds: int = 12) -> float:
 
     Writes exactly the artifacts the reference's [TIME] bracket covers —
     layer-major .bin + 24 layer PNGs + single PNG + FMT_CSV — through the
-    production writer path (pipelines/multi_bev._write_outputs semantics:
-    runtime/native_io.write_multi_bev / write_png + io/csvfmt.write_csv),
-    on real rasters from one preprocessed bench batch.  Matches the pipeline
-    convention (pipelines/multi_bev.py): full-span per-cloud =
-    device-compute average + this per-cloud write average."""
+    production writer path (pipelines/multi_bev._write_outputs: ONE
+    runtime/native_io.write_cloud_artifacts call per cloud from the packed
+    occupancy wire format), on real rasters from one preprocessed bench
+    batch.  Matches the pipeline convention (pipelines/multi_bev.py):
+    full-span per-cloud = device-compute average + this per-cloud write
+    average (the serial-sum convention; the pipeline itself overlaps the
+    writes — see measure_pipeline_span)."""
     import shutil
     import tempfile
 
     import jax
 
     from pctpu.config import get_sensor_params
-    from pctpu.io.csvfmt import write_csv
     from pctpu.ops.preprocess import preprocess_batch
-    from pctpu.runtime.native_io import write_multi_bev, write_png
+    from pctpu.runtime.native_io import write_cloud_artifacts
 
     params = get_sensor_params("HDL_64E")
     n_points = min(N_POINTS, int(params.grid_size * 0.9))
@@ -284,15 +285,24 @@ def measure_write_ms(n_clouds: int = 12) -> float:
     )
     multi = np.asarray(multi)
     single = np.asarray(single)
+    # the pipeline ships the occupancy BEV in its packed wire format and the
+    # writer expands it natively (pipelines/multi_bev._preprocess_wire)
+    nl, s = multi.shape[1], multi.shape[2]
+    packed = np.packbits(
+        (multi != 0).reshape(BATCH, nl, s, s // 8, 8), axis=-1,
+        bitorder="little",
+    ).reshape(BATCH, nl, s, s // 8)
     io_dir = tempfile.mkdtemp(prefix="pctpu_span_")
     try:
         for sub in ("binary", "image", "single_image", "single_csv"):
             os.makedirs(os.path.join(io_dir, sub), exist_ok=True)
         # warm one cloud (dlopen of libpctpu_io, page cache)
-        write_multi_bev(
+        write_cloud_artifacts(
             os.path.join(io_dir, "binary", "warm.bin"),
             os.path.join(io_dir, "image", "warm/"),
-            multi[0],
+            os.path.join(io_dir, "single_image", "warm.png"),
+            os.path.join(io_dir, "single_csv", "warm.csv"),
+            single[0], packed=packed[0],
         )
         # best of 3 like measure_baseline: ext4 dirty-page writeback on the
         # shared host throttles bursts unpredictably (up to ~4x)
@@ -302,18 +312,12 @@ def measure_write_ms(n_clouds: int = 12) -> float:
             for i in range(n_clouds):
                 b = i % BATCH
                 short = f"{rep}_{i:06d}"
-                write_multi_bev(
+                write_cloud_artifacts(
                     os.path.join(io_dir, "binary", short + ".bin"),
                     os.path.join(io_dir, "image", short + "/"),
-                    multi[b],
-                )
-                write_png(
                     os.path.join(io_dir, "single_image", short + ".png"),
-                    single[b],
-                )
-                write_csv(
                     os.path.join(io_dir, "single_csv", short + ".csv"),
-                    single[b],
+                    single[b], packed=packed[b],
                 )
             best = min(best, time.perf_counter() - t0)
     finally:

@@ -29,7 +29,6 @@ from pctpu.config import (
     SingleBevConfig,
     get_sensor_params,
 )
-from pctpu.io.csvfmt import write_csv
 from pctpu.io.pcd import write_pcd
 from pctpu.io.poses import read_keyframe_poses, save_labels
 from pctpu.ops.preprocess import preprocess_batch
@@ -240,18 +239,12 @@ def run_multi_bev(
                     )
                     # one device_get for the whole batch result: the leaf
                     # transfers issue together and overlap instead of paying
-                    # a serial roundtrip each
+                    # a serial roundtrip each.  The occupancy BEV stays in
+                    # its packed wire format — the writer expands it (native,
+                    # off this thread) per cloud
                     packed_h, single_h, wire_h = jax.device_get(
                         (packed, single, wire)
                     )
-                    # grid side from the multi-BEV's OWN packed shape
-                    # (b, layers, s, s//8) — the single BEV may use a
-                    # different mat_size in custom configs
-                    s = packed_h.shape[-2]
-                    multi_h = np.unpackbits(
-                        packed_h.reshape(packed_h.shape[0], -1), axis=1,
-                        bitorder="little",
-                    ).reshape(packed_h.shape[0], -1, s, s) * np.uint8(255)
 
                 for bi, name in enumerate(names):
                     if name is None:
@@ -264,7 +257,7 @@ def run_multi_bev(
                             short,
                             wire_h,
                             bi,
-                            multi_h[bi],
+                            packed_h[bi],
                             single_h[bi],
                             bin_dir,
                             img_dir,
@@ -318,7 +311,7 @@ def _write_outputs(
     short: str,
     wire_h: dict,
     bi: int,
-    multi: np.ndarray,
+    packed: np.ndarray,
     single: np.ndarray,
     bin_dir: str,
     img_dir: str,
@@ -330,19 +323,24 @@ def _write_outputs(
 ) -> None:
     import time
 
-    from pctpu.runtime.native_io import write_multi_bev, write_png
+    from pctpu.runtime.native_io import write_cloud_artifacts
 
     # BEV artifacts are INSIDE the reference's [TIME] span
     # (/root/reference/BatchMultiBevGen.cpp:294-320, 352-372): timed into the
     # "bev-write" stage.  The labeled pcd (:756) is outside it — untimed.
+    # ONE native call writes the whole set (bin + layer PNGs + single PNG +
+    # csv) from the packed occupancy wire format, expanded natively here on
+    # the writer thread instead of on the device-loop thread.
     t0 = time.perf_counter()
-    # multi-layer: one raw binary (layer-major, row-major) + 24 pngs
-    write_multi_bev(
-        bin_dir + short + ".bin", img_dir + short + "/", multi, write_pngs=write_pngs
+    write_cloud_artifacts(
+        bin_dir + short + ".bin",
+        img_dir + short + "/",
+        single_img_dir + short + ".png",
+        single_csv_dir + short + ".csv",
+        single,
+        packed=packed,
+        write_pngs=write_pngs,
     )
-    if write_pngs:
-        write_png(single_img_dir + short + ".png", single)
-    write_csv(single_csv_dir + short + ".csv", single)
     if timer is not None:
         timer.add("bev-write", (time.perf_counter() - t0) * 1e3)
 

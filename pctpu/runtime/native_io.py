@@ -55,6 +55,13 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ]
             lib.pctpu_write_multi_bev.restype = ctypes.c_int
+            lib.pctpu_write_cloud_artifacts.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.pctpu_write_cloud_artifacts.restype = ctypes.c_int
             lib.pctpu_lzf_decompress.argtypes = [
                 ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
             ]
@@ -128,6 +135,68 @@ def write_multi_bev(
             write_gray_png(
                 os.path.join(img_dir, f"{layer:02d}.png"), multi[layer], level
             )
+
+
+def write_cloud_artifacts(
+    bin_path: str,
+    img_dir: str,
+    single_png_path: str,
+    single_csv_path: str,
+    single: np.ndarray,
+    multi: np.ndarray | None = None,
+    packed: np.ndarray | None = None,
+    level: int = 1,
+    write_pngs: bool = True,
+) -> None:
+    """Write one cloud's ENTIRE in-[TIME] artifact set in one native call
+    (/root/reference/BatchMultiBevGen.cpp:295-320, 352-372): layer-major
+    .bin + per-layer PNGs + single-BEV PNG + FMT_CSV.
+
+    Pass either ``multi`` (unpacked (L, H, W) u8 of 0/255) or ``packed``
+    ((L, H, W//8) u8, np.unpackbits bitorder="little" semantics — the
+    pipeline's wire format, expanded natively off the main thread).  Falls
+    back to the per-artifact writers (byte-identical outputs,
+    tests/test_native_io.py)."""
+    single = np.ascontiguousarray(single, np.uint8)
+    sh, sw = single.shape
+    lib = _load()
+    if lib is not None:
+        if packed is not None:
+            packed = np.ascontiguousarray(packed, np.uint8)
+            nl, h, w8 = packed.shape
+            rc = lib.pctpu_write_cloud_artifacts(
+                packed.ctypes.data, None, nl, h, w8 * 8,
+                single.ctypes.data, sh, sw,
+                bin_path.encode(), img_dir.rstrip("/").encode(),
+                single_png_path.encode() if write_pngs else None,
+                single_csv_path.encode(),
+                level, 1 if write_pngs else 0,
+            )
+        else:
+            multi_c = np.ascontiguousarray(multi, np.uint8)
+            nl, h, w = multi_c.shape
+            rc = lib.pctpu_write_cloud_artifacts(
+                None, multi_c.ctypes.data, nl, h, w,
+                single.ctypes.data, sh, sw,
+                bin_path.encode(), img_dir.rstrip("/").encode(),
+                single_png_path.encode() if write_pngs else None,
+                single_csv_path.encode(),
+                level, 1 if write_pngs else 0,
+            )
+        if rc == 0:
+            return
+    # Python fallback: per-artifact writers (same bytes)
+    if multi is None:
+        w = packed.shape[-1] * 8
+        multi = np.unpackbits(
+            np.ascontiguousarray(packed, np.uint8).reshape(-1), bitorder="little"
+        ).reshape(packed.shape[0], -1, w) * np.uint8(255)
+    write_multi_bev(bin_path, img_dir, multi, level=level, write_pngs=write_pngs)
+    if write_pngs:
+        write_png(single_png_path, single, level=level)
+    from pctpu.io.csvfmt import write_csv
+
+    write_csv(single_csv_path, single)
 
 
 def format_csv_f32(mat: np.ndarray, precision: int) -> bytes | None:

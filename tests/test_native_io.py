@@ -143,6 +143,76 @@ def test_python_fallbacks_match_native(tmp_path, monkeypatch):
     assert format_csv(row) == native_row
 
 
+def test_write_cloud_artifacts_paths_identical(tmp_path, monkeypatch):
+    """The one-call artifact writer (native, packed or unpacked input) and
+    its Python fallback produce byte-identical artifact sets (bin + layer
+    PNGs + single PNG + csv)."""
+    import pctpu.runtime.native_io as nio
+
+    if not nio.native_available():
+        pytest.skip("native lib unavailable (nothing to compare against)")
+
+    rng = np.random.default_rng(7)
+    multi = (rng.random((24, 32, 32)) > 0.8).astype(np.uint8) * 255
+    # edge densities exercise the packed encoder's run-chunking: an all-zero
+    # layer (one maximal zero run), an all-set layer (255-runs split by the
+    # per-row filter bytes), and a row-boundary-straddling block
+    multi[3] = 0
+    multi[11] = 255
+    multi[17, 1:3] = 255
+    packed = np.packbits(
+        (multi != 0).reshape(24, 32, 4, 8), axis=-1, bitorder="little"
+    ).reshape(24, 32, 4)
+    single = rng.integers(0, 256, (32, 32), np.uint8)
+
+    def run(tag, **kw):
+        d = tmp_path / tag
+        d.mkdir()
+        nio.write_cloud_artifacts(
+            str(d / "c.bin"), str(d / "img"), str(d / "s.png"),
+            str(d / "s.csv"), single, **kw,
+        )
+        blobs = {"bin": (d / "c.bin").read_bytes(),
+                 "png": (d / "s.png").read_bytes(),
+                 "csv": (d / "s.csv").read_bytes()}
+        for layer in range(24):
+            blobs[f"l{layer}"] = (d / "img" / f"{layer:02d}.png").read_bytes()
+        return blobs
+
+    native_packed = run("np", packed=packed)
+    native_unpacked = run("nu", multi=multi)
+    assert native_packed == native_unpacked
+    assert np.array_equal(
+        np.frombuffer(native_packed["bin"], np.uint8).reshape(24, 32, 32),
+        multi,
+    )
+
+    monkeypatch.setattr(nio, "_lib", None)
+    monkeypatch.setattr(nio, "_tried", True)
+    py_packed = run("pp", packed=packed)
+    py_unpacked = run("pu", multi=multi)
+    assert py_packed == native_packed
+    assert py_unpacked == native_packed
+
+
+def test_write_cloud_artifacts_no_pngs(tmp_path):
+    """write_pngs=False writes bin + csv only (the pipeline's --no-pngs
+    mode): no image dir contents, no single PNG."""
+    import pctpu.runtime.native_io as nio
+
+    rng = np.random.default_rng(8)
+    multi = (rng.random((4, 16, 16)) > 0.5).astype(np.uint8) * 255
+    single = rng.integers(0, 256, (16, 16), np.uint8)
+    d = tmp_path
+    nio.write_cloud_artifacts(
+        str(d / "c.bin"), str(d / "img"), str(d / "s.png"), str(d / "s.csv"),
+        single, multi=multi, write_pngs=False,
+    )
+    assert (d / "c.bin").exists() and (d / "s.csv").exists()
+    assert not (d / "s.png").exists()
+    assert not (d / "img").exists() or not any((d / "img").iterdir())
+
+
 def test_format_csv_f32_cap_guard(monkeypatch):
     """A native formatter reporting overflow (n < 0) yields None so the
     caller falls back to the byte-identical Python path."""
