@@ -27,6 +27,28 @@ WARMUP_BATCHES = 2
 BENCH_BATCHES = 6
 BASELINE_CLOUDS = 10
 
+# Pinned historical spread of the compute-only C++ baseline on this shared
+# host (best-of-3 per session, rounds 2-4 + quiet-box re-bench — see
+# docs/PERFORMANCE.md "Baseline volatility"): the ratio's error bar is the
+# HOST, not either code base, so every emitted vs_baseline carries an
+# interval built from this spread union the current session's measurement.
+BASELINE_HIST_MS = (7.47, 10.5)
+# same, for the full-span baseline (compute + in-[TIME] artifact writes):
+# round-4 driver capture 20.7 ms (48.3 clouds/s) vs loaded-box 24.2 ms
+BASELINE_SPAN_HIST_MS = (20.7, 24.2)
+
+
+def _ratio_interval(pctpu_cps: float, session_ms: float,
+                    hist_ms: tuple) -> list:
+    """[min, max] of pctpu_cps / baseline_cps over the union of this
+    session's baseline measurement and the pinned historical spread —
+    the host's measured volatility, not either code base's (VERDICT r4
+    item 4).  ratio = pctpu_cps * baseline_ms / 1000."""
+    lo_ms = min(session_ms, hist_ms[0])
+    hi_ms = max(session_ms, hist_ms[1])
+    return [round(pctpu_cps * lo_ms / 1000.0, 3),
+            round(pctpu_cps * hi_ms / 1000.0, 3)]
+
 
 def measure_baseline(full_span: bool = False) -> float:
     """Single-core C++ ms/cloud (same algorithm, per-point loops).
@@ -323,6 +345,147 @@ def measure_write_ms(n_clouds: int = 12) -> float:
     finally:
         shutil.rmtree(io_dir, ignore_errors=True)
     return best * 1000.0 / n_clouds
+
+
+def _write_bench_tree(root: str, n_clouds: int, seed0: int,
+                      sensor: str = "HDL_64E") -> None:
+    """A selected-keyframe tree of bench-shaped clouds (the production input
+    layout the selector tools emit: dense grid, empty slots all-zero with
+    label 0), for the end-to-end pipeline span measurement."""
+    from pctpu.config import get_sensor_params
+    from pctpu.geom.se3 import Pose6f
+    from pctpu.io.pcd import write_pcd
+    from pctpu.io.poses import format_pose_entry
+
+    params = get_sensor_params(sensor) if isinstance(sensor, str) else sensor
+    n_points = min(N_POINTS, int(params.grid_size * 0.9))
+    os.makedirs(os.path.join(root, "keyframe_point_cloud"), exist_ok=True)
+    lines = []
+    idx = 0
+    for seed in range(seed0, seed0 + (n_clouds + BATCH - 1) // BATCH):
+        batch = synth_batch(params, BATCH, n_points, seed, ordered=True)
+        xyz = np.asarray(batch.xyz)
+        intensity = np.asarray(batch.intensity)
+        row = np.asarray(batch.row).astype(np.uint16)
+        col = np.asarray(batch.col).astype(np.uint16)
+        label = np.asarray(batch.label).astype(np.int16)
+        for b in range(BATCH):
+            if idx >= n_clouds:
+                break
+            write_pcd(
+                os.path.join(root, "keyframe_point_cloud", f"{idx:06d}.pcd"),
+                {
+                    "x": xyz[b, :, 0], "y": xyz[b, :, 1], "z": xyz[b, :, 2],
+                    "intensity": intensity[b], "row": row[b], "col": col[b],
+                    "t": np.zeros(xyz.shape[1], np.uint32), "label": label[b],
+                },
+                width=xyz.shape[1],
+            )
+            lines.append(format_pose_entry(
+                idx, Pose6f.from_matrix(np.eye(3), np.array([3.0 * idx, 0, 0]))
+            ))
+            idx += 1
+    with open(os.path.join(root, "keyframe_pose.csv"), "w") as f:
+        f.writelines(lines)
+
+
+def measure_pipeline_span(n_clouds: int = 64, sensor: str = "HDL_64E") -> dict:
+    """End-to-end `run_multi_bev` measured span (VERDICT r4 item 1).
+
+    Runs the REAL tool (prefetch loader → jitted batch kernel → AsyncWriter,
+    write_pngs=True, tolerance compat) over `n_clouds` bench-shaped HDL-64E
+    clouds: a warm tree first (jit cache + writer lib), then one timed tree
+    with fresh values (the tunneled runtime value-caches repeated inputs).
+    The pipeline's own loop wall is the published span — the BEV writes
+    overlap device compute in it, unlike the serial-sum convention.
+
+    Tunnel adjustment: this dev environment reaches the chip through a
+    tunnel (~60 MB/s effective, docs/PERFORMANCE.md "End-to-end pipeline"),
+    so each 8-cloud batch pays ~1 s of pure transfer a PCIe-local TPU host
+    (>10 GB/s) would not.  The measured per-batch transfer cost is reported,
+    and `pipeline_full_span_clouds_per_sec_pcie_estimate` subtracts the
+    excess over a 5 ms/batch PCIe cost — an estimate, labeled as such; the
+    raw keys are the measurement."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from pctpu.pipelines.multi_bev import run_multi_bev
+    from pctpu.runtime.loader import load_xyzirct_arrays, stack_batch
+    from pctpu.config import get_sensor_params
+
+    params = get_sensor_params(sensor) if isinstance(sensor, str) else sensor
+    warm_dir = tempfile.mkdtemp(prefix="pctpu_pipe_warm_")
+    timed_dir = tempfile.mkdtemp(prefix="pctpu_pipe_")
+    try:
+        _write_bench_tree(warm_dir, BATCH, seed0=100, sensor=sensor)
+        _write_bench_tree(timed_dir, n_clouds, seed0=200, sensor=sensor)
+        run_multi_bev(warm_dir, sensor, batch_size=BATCH, compat="tolerance")
+        out = run_multi_bev(
+            timed_dir, sensor, batch_size=BATCH, compat="tolerance"
+        )
+        assert out.num_clouds == n_clouds
+
+        # measured per-batch tunnel transfer: h2d of one loader batch +
+        # d2h of the same bytes, completion proven by value fetch
+        files = sorted(
+            os.path.join(warm_dir, "keyframe_point_cloud", f)
+            for f in os.listdir(os.path.join(warm_dir, "keyframe_point_cloud"))
+        )[:BATCH]
+        arrays = stack_batch(
+            [load_xyzirct_arrays(f, params.grid_size, params=params)
+             for f in files]
+        )
+        nbytes = sum(np.asarray(v).nbytes for v in arrays.values())
+
+        @jax.jit
+        def _touch(a):
+            return jnp.sum(a["xyz"][..., 0]) + jnp.float32(a["count"][0])
+
+        # warm pass compiles _touch and primes the transfer path; the timed
+        # pass uses perturbed values (the tunneled runtime value-caches
+        # repeated inputs — docs/PERFORMANCE.md)
+        float(_touch({k: jax.device_put(v) for k, v in arrays.items()}))
+        arrays["xyz"] = arrays["xyz"] + np.float32(1e-3)
+        t0 = time.perf_counter()
+        dev = {k: jax.device_put(v) for k, v in arrays.items()}
+        float(_touch(dev))
+        dt_up = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        back = jax.device_get(dev)
+        dt_down = time.perf_counter() - t0
+        assert back["xyz"].shape == arrays["xyz"].shape
+        transfer_ms = (dt_up + dt_down) * 1e3
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
+        shutil.rmtree(timed_dir, ignore_errors=True)
+
+    wall_ms = out.wall_ms_per_cloud
+    device_ms = out.avg_device_ms_per_cloud  # includes in-stage transfers
+    write_ms = out.avg_bev_write_ms_per_cloud
+    hidden_pct = max(
+        0.0, 100.0 * (1.0 - max(wall_ms - device_ms, 0.0) / max(write_ms, 1e-9))
+    )
+    # excess tunnel cost per cloud over a PCIe-local host's ~5 ms/batch;
+    # floored at the write drain (2 writer threads) — the adjusted span
+    # cannot beat what the writers themselves need
+    excess_ms = max(transfer_ms - 5.0, 0.0) / BATCH
+    pcie_wall_ms = max(wall_ms - excess_ms, write_ms / 2.0, 1e-3)
+    return {
+        "pipeline_full_span_clouds_per_sec": round(1000.0 / wall_ms, 3),
+        "pipeline_wall_ms_per_cloud": round(wall_ms, 3),
+        "pipeline_device_ms_per_cloud_incl_transfers": round(device_ms, 3),
+        "pipeline_bev_write_ms_per_cloud": round(write_ms, 3),
+        "pipeline_serial_sum_ms_per_cloud": round(device_ms + write_ms, 3),
+        "pipeline_write_overlap_hidden_pct": round(hidden_pct, 1),
+        "tunnel_transfer_ms_per_batch": round(transfer_ms, 1),
+        "tunnel_transfer_mb_per_batch": round(2 * nbytes / 1e6, 1),
+        "pipeline_full_span_clouds_per_sec_pcie_estimate": round(
+            1000.0 / pcie_wall_ms, 3
+        ),
+    }
 
 
 def measure_registration_baseline(n_pairs: int = 5) -> dict:
@@ -673,6 +836,12 @@ def main() -> int:
     write_ms = measure_write_ms()
     tol_span_cps = 1000.0 / (1000.0 / tol_cps + write_ms)
     exact_span_cps = 1000.0 / (1000.0 / exact_cps + write_ms)
+    # the tool's OWN measured end-to-end span (writes overlapped via
+    # AsyncWriter — VERDICT r4 item 1); never let its failure kill the bench
+    try:
+        pipe = measure_pipeline_span()
+    except Exception as e:  # pragma: no cover - depends on device state
+        pipe = {"pipeline_span_error": f"{type(e).__name__}: {e}"}
     verify = verify_on_device()
     if details:
         general_cps = measure_tpu(ordered=False)
@@ -723,6 +892,17 @@ def main() -> int:
                     "registration_vs_baseline": round(
                         pairs_per_sec / reg_base_pps, 3
                     ),
+                    **pipe,
+                    "vs_baseline_interval": _ratio_interval(
+                        tol_cps, baseline_ms, BASELINE_HIST_MS
+                    ),
+                    "vs_baseline_full_span_interval": _ratio_interval(
+                        tol_span_cps, baseline_span_ms, BASELINE_SPAN_HIST_MS
+                    ),
+                    "baseline_ms_spread": [
+                        min(baseline_ms, BASELINE_HIST_MS[0]),
+                        max(baseline_ms, BASELINE_HIST_MS[1]),
+                    ],
                     "verify": verify,
                 },
                 f,
@@ -747,6 +927,25 @@ def main() -> int:
                 "vs_baseline_full_span": round(
                     tol_span_cps / baseline_span_cps, 3
                 ),
+                # ratio error bars over the host's measured baseline spread
+                # (session ∪ pinned history; pctpu absolute clouds/s is the
+                # stable cross-session number — docs/PERFORMANCE.md)
+                "vs_baseline_interval": _ratio_interval(
+                    tol_cps, baseline_ms, BASELINE_HIST_MS
+                ),
+                "vs_baseline_full_span_interval": _ratio_interval(
+                    tol_span_cps, baseline_span_ms, BASELINE_SPAN_HIST_MS
+                ),
+                # the production tool's own measured end-to-end span
+                # (run_multi_bev loop wall: writes overlap device compute)
+                "pipeline_full_span_clouds_per_sec": pipe.get(
+                    "pipeline_full_span_clouds_per_sec"
+                ),
+                "pipeline_write_overlap_hidden_pct": pipe.get(
+                    "pipeline_write_overlap_hidden_pct"
+                ),
+                **({"pipeline_span_error": pipe["pipeline_span_error"]}
+                   if "pipeline_span_error" in pipe else {}),
                 "verify": verify,
             }
         )
