@@ -134,6 +134,18 @@ def write_verdict(path: str | None, tier: str, report: list[str],
 
 def build_reference(workdir: str) -> dict[str, str] | None:
     """Configure+build the reference out-of-tree; returns tool→path map."""
+    # preflight: the reference vendors BackwardCpp and fmt as git submodules
+    # (CMakeLists.txt:30-31 add_subdirectory); an unfetched checkout has the
+    # directories but no content, and cmake dies mid-configure with a less
+    # actionable error.  Fail fast with the fix.
+    for sub in ("ThirdParties/BackwardCpp", "ThirdParties/fmt"):
+        if not os.path.exists(os.path.join(REFERENCE, sub, "CMakeLists.txt")):
+            log(
+                f"reference submodule {sub} is not initialized — run\n"
+                f"  git -C {REFERENCE} submodule update --init\n"
+                "(needs network access to github.com) and retry"
+            )
+            return None
     build = os.path.join(workdir, "build")
     r = subprocess.run(
         ["cmake", "-S", REFERENCE, "-B", build, "-DCMAKE_BUILD_TYPE=Release"],
