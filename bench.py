@@ -488,6 +488,265 @@ def measure_pipeline_span(n_clouds: int = 64, sensor: str = "HDL_64E") -> dict:
     }
 
 
+def _stage_ms(fn, args, reps: int = 8, target_ms: float = 250.0) -> float:
+    """ms per call of `fn(offset, *args)` — perturbed iterations amortized
+    inside ONE jitted fori_loop dispatch, timed by fetching the checksum
+    value (tunnel discipline: block_until_ready does not prove execution;
+    repeated values may be result-cached), dispatch latency subtracted,
+    best of 3 dispatches with distinct offsets.
+
+    The rep count auto-scales until one dispatch's compute is ≥`target_ms`
+    (≫ the ~28 ms tunnel roundtrip): short probes (a 0.05 ms matmul, a
+    0.1 ms grid pass) are otherwise latency-subtraction noise — a measured
+    failure mode on this runtime, not a theoretical one."""
+    import jax
+    import jax.numpy as jnp
+
+    def make_run(n):
+        @jax.jit
+        def run(offset, *a):
+            def body(i, acc):
+                return acc + fn(jnp.float32(i) + offset, *a)
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        return run
+
+    @jax.jit
+    def _trivial(x):
+        return x + 1
+
+    int(_trivial(jnp.int32(0)))
+    lats = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        int(_trivial(jnp.int32(i + 1)))
+        lats.append(time.perf_counter() - t0)
+    latency = sorted(lats)[1]
+
+    run = make_run(reps)
+    float(run(jnp.float32(0.0), *args))  # compile + warm
+    t0 = time.perf_counter()
+    float(run(jnp.float32(17.0), *args))
+    dt = time.perf_counter() - t0
+    compute_ms = max(dt - latency, 1e-6) * 1e3
+    if compute_ms < target_ms:
+        # one rescale + recompile: per-rep estimate from the pilot
+        per_rep = max(compute_ms / reps, 1e-4)
+        reps = min(int(target_ms / per_rep) + 1, reps * 1024)
+        run = make_run(reps)
+        float(run(jnp.float32(0.0), *args))
+    best = float("inf")
+    for k in range(3):
+        t0 = time.perf_counter()
+        float(run(jnp.float32(1000.0 * (k + 1)), *args))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - latency, 1e-9) * 1e3 / reps
+
+
+def utilization_block(tol_cps: float | None = None,
+                      exact_cps: float | None = None,
+                      sensor: str = "HDL_64E") -> dict:
+    """Per-stage device time vs measured primitive peaks (VERDICT r4 item 9).
+
+    Mechanizes docs/PERFORMANCE.md's roofline table: each hot stage of the
+    preprocess kernel is timed standalone at kernel shapes (batch=BATCH,
+    HDL-64E grid), each primitive peak is measured fresh on THIS device in
+    the same session, and `pct_of_primitive_peak = bound / measured` so an
+    MFU regression in any stage shows up as a dropping percentage in
+    bench_details.json rather than only in hand-maintained prose.  The
+    stage probes are cross-checked against the end-to-end kernel: the sum
+    of (BEV + tolerance grid + sweep) is emitted next to the measured
+    full-kernel ms/cloud (from `tol_cps`) as `stage_sum_vs_kernel`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pctpu.config import GroundConfig, get_sensor_params
+    from pctpu.ops.bev import fused_multi_single_bev
+    from pctpu.ops.ground import (
+        _belonging_grid,
+        _grid_sums_bitexact,
+        _grid_sums_tolerance,
+        mark_ground,
+    )
+
+    params = get_sensor_params(sensor) if isinstance(sensor, str) else sensor
+    cfg = GroundConfig()
+    n_points = min(N_POINTS, int(params.grid_size * 0.9))
+    batch = synth_batch(params, BATCH, n_points, seed=3, ordered=True)
+    g = params.grid_size
+    swept = min((params.ground_upper_scan + 1) * params.horizon_scan, g)
+
+    # ---- measured primitive peaks (this session, this chip) ----
+    def f_sort(off, keys, payload):
+        k2 = keys + off.astype(jnp.int32)
+        sk, sp = jax.vmap(
+            lambda a, b: jax.lax.sort([a, b], num_keys=1)
+        )(k2, payload)
+        return (sk[:, 0].sum().astype(jnp.float32)
+                + sp[:, -1].sum(dtype=jnp.uint32).astype(jnp.float32))
+
+    from pctpu.config import MultiBevConfig
+
+    s_bev = MultiBevConfig().mat_size
+    L = g + s_bev * s_bev  # fused-BEV sort length: points + one sentinel/cell
+    rng = np.random.default_rng(11)
+    keys = jnp.asarray(rng.integers(0, 1 << 24, (BATCH, L), dtype=np.int32))
+    payload = jnp.asarray(
+        rng.integers(0, 1 << 30, (BATCH, L), dtype=np.int64).astype(np.uint32)
+    )
+    sort_ms = _stage_ms(f_sort, (keys, payload), reps=8)
+    sort_ns = sort_ms * 1e6 / (BATCH * L * 2)  # per element per operand
+
+    def f_scatter(off, idx, vals):
+        v = vals * (1.0 + jnp.float32(1e-7) * off)
+        out = jax.vmap(
+            lambda i, p: jnp.zeros((8192, 2), jnp.float32).at[i].add(p)
+        )(idx, v)
+        return jnp.sum(out)
+
+    idx = jnp.asarray(rng.integers(0, 8192, (BATCH, swept), dtype=np.int32))
+    vals = jnp.asarray(rng.random((BATCH, swept, 2), np.float32))
+    scatter_ms = _stage_ms(f_scatter, (idx, vals), reps=8)
+    scatter_ns = scatter_ms * 1e6 / (BATCH * swept)  # per 2-wide update row
+
+    def f_matmul(off, a, b):
+        a2 = a * (1.0 + jnp.float32(1e-7) * off)
+        return jnp.sum(
+            jax.lax.dot(a2, b, precision=jax.lax.Precision.HIGHEST)
+        )
+
+    mm = 1024
+    a = jnp.asarray(rng.random((mm, mm), np.float32))
+    b = jnp.asarray(rng.random((mm, mm), np.float32))
+    matmul_ms = _stage_ms(f_matmul, (a, b), reps=16)
+    matmul_tmacs = mm**3 / (matmul_ms * 1e-3) / 1e12  # f32 MAC/s (HIGHEST)
+
+    def f_hbm(off, x):
+        return jnp.sum(x * (1.0 + jnp.float32(1e-7) * off) + off)
+
+    big = jnp.asarray(rng.random((1 << 25,), np.float32))  # 128 MB
+    hbm_ms = _stage_ms(f_hbm, (big,), reps=8)
+    hbm_gbps = big.nbytes / (hbm_ms * 1e-3) / 1e9  # one read pass (fused sum)
+
+    # ---- measured stage times at kernel shapes (ms per cloud) ----
+    labeled = jax.vmap(lambda c: mark_ground(c, params, cfg)[0])(batch)
+
+    def f_bev(off, lb):
+        b2 = lb.replace(xyz=lb.xyz * (1.0 + jnp.float32(1e-7) * off))
+        m, s = jax.vmap(
+            lambda c: fused_multi_single_bev(c, params.height_res)
+        )(b2)
+        return jnp.float32(
+            jnp.sum(m, dtype=jnp.int32) + jnp.sum(s, dtype=jnp.int32)
+        )
+
+    bev_ms = _stage_ms(f_bev, (labeled,), reps=8) / BATCH
+
+    def _grid_args():
+        x = batch.xyz[:, :swept, 0]
+        y = batch.xyz[:, :swept, 1]
+        z = batch.xyz[:, :swept, 2]
+        srow, scol = jax.vmap(lambda xx, yy: _belonging_grid(xx, yy, cfg))(x, y)
+        ground = batch.label[:, :swept] == -2
+        return srow, scol, z, ground
+
+    srow, scol, z, ground = _grid_args()
+    sector = srow * cfg.grid_cols + scol
+
+    def f_grid_exact(off, sec, zz, gg):
+        z2 = zz * (1.0 + jnp.float32(1e-7) * off)
+        out = jax.vmap(
+            lambda s_, z_, g_: _grid_sums_bitexact(s_, z_, g_, cfg)
+        )(sec, z2, gg)
+        return jnp.sum(out)
+
+    grid_exact_ms = _stage_ms(f_grid_exact, (sector, z, ground), reps=8) / BATCH
+
+    def f_grid_tol(off, sr, sc, zz, gg):
+        z2 = zz * (1.0 + jnp.float32(1e-7) * off)
+        out = jax.vmap(
+            lambda r_, c_, z_, g_: _grid_sums_tolerance(r_, c_, z_, g_, cfg)
+        )(sr, sc, z2, gg)
+        return jnp.sum(out)
+
+    grid_tol_ms = _stage_ms(f_grid_tol, (srow, scol, z, ground), reps=8) / BATCH
+
+    def f_mark(compat):
+        def f(off, bb):
+            b2 = bb.replace(xyz=bb.xyz * (1.0 + jnp.float32(1e-7) * off))
+            lb, gm = jax.vmap(
+                lambda c: mark_ground(c, params, cfg, compat=compat)
+            )(b2)
+            return jnp.float32(
+                jnp.sum(lb.label) + jnp.sum(gm, dtype=jnp.int32)
+            )
+
+        return f
+
+    mark_tol_ms = _stage_ms(f_mark("tolerance"), (batch,), reps=8) / BATCH
+    mark_exact_ms = _stage_ms(f_mark("bitexact"), (batch,), reps=8) / BATCH
+
+    # ---- primitive bounds per stage (docs/PERFORMANCE.md roofline) ----
+    bev_bound = 2 * L * 2 * sort_ns / 1e6  # two sorts, 2 operands each
+    scatter_bound = swept * scatter_ns / 1e6  # one 2-wide update per point
+    macs = swept * 2 * cfg.grid_rows * cfg.grid_cols  # (P,2R)@(P,C)
+    grid_tol_bound = macs / (matmul_tmacs * 1e12) * 1e3
+    # ~30 elementwise passes over the swept planes (x,y,z,... shifted
+    # candidates — docs/PERFORMANCE.md roofline row 3), read+write each
+    sweep_bound = 30 * (swept * 4 * 2) / (hbm_gbps * 1e9) * 1e3
+
+    def row(measured, bound):
+        return {
+            "measured_ms_per_cloud": round(measured, 4),
+            "primitive_bound_ms": round(bound, 4),
+            "pct_of_primitive_peak": round(100.0 * bound / measured, 1)
+            if measured > 0 else None,
+        }
+
+    out = {
+        "primitive_peaks": {
+            "sort_ns_per_elem_per_operand": round(sort_ns, 3),
+            "scatter_ns_per_update_row": round(scatter_ns, 3),
+            "matmul_f32_highest_tmacs": round(matmul_tmacs, 3),
+            "hbm_read_gbps": round(hbm_gbps, 1),
+        },
+        # full ground-marking in each compat mode (sweep + veto + its grid
+        # accumulation as XLA actually fuses them) — a stage's percentage
+        # over 100 means the kernel formulation beats the generic primitive
+        # probe (banded scatter / narrow sort keys), consistent with the
+        # docs/PERFORMANCE.md roofline notes
+        "stages": {
+            "fused_multi_single_bev": row(bev_ms, bev_bound),
+            "mark_ground_bitexact": row(
+                mark_exact_ms, scatter_bound + sweep_bound
+            ),
+            "mark_ground_tolerance": row(
+                mark_tol_ms, grid_tol_bound + sweep_bound
+            ),
+        },
+        # the grid accumulations timed in isolation (their standalone cost
+        # exceeds their marginal cost inside mark_ground — the one-hot /
+        # index build fuses with the sweep there)
+        "substages_isolated": {
+            "ground_grid_scatter_bitexact": row(grid_exact_ms, scatter_bound),
+            "ground_grid_mxu_tolerance": row(grid_tol_ms, grid_tol_bound),
+        },
+        "stage_sum_tolerance_ms": round(bev_ms + mark_tol_ms, 4),
+    }
+    if tol_cps:
+        kernel_ms = 1000.0 / tol_cps
+        out["kernel_tolerance_ms_per_cloud"] = round(kernel_ms, 4)
+        out["stage_sum_vs_kernel"] = round(
+            out["stage_sum_tolerance_ms"] / kernel_ms, 3
+        )
+    if exact_cps and tol_cps:
+        # the bit-exact kernel swaps the MXU grid for the scatter grid
+        out["kernel_bitexact_ms_per_cloud"] = round(1000.0 / exact_cps, 4)
+    return out
+
+
 def measure_registration_baseline(n_pairs: int = 5) -> dict:
     """Single-core C++ two-stage ICP ms/pair on the bench scene
     (native/baseline_registration.cpp — same algorithm as the reference,
@@ -903,6 +1162,7 @@ def main() -> int:
                         min(baseline_ms, BASELINE_HIST_MS[0]),
                         max(baseline_ms, BASELINE_HIST_MS[1]),
                     ],
+                    "utilization": utilization_block(tol_cps, exact_cps),
                     "verify": verify,
                 },
                 f,

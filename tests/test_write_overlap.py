@@ -105,6 +105,33 @@ def test_measure_pipeline_span_plumbing(monkeypatch):
         out["pipeline_full_span_clouds_per_sec"]
 
 
+def test_utilization_block_plumbing(monkeypatch):
+    """bench.utilization_block on CPU with the tiny sensor: every stage row
+    carries measured/bound/pct and the cross-check keys are consistent
+    (VERDICT r4 item 9 — the block must exist mechanically, not as prose)."""
+    import bench
+
+    monkeypatch.setattr(bench, "BATCH", 2)
+    out = bench.utilization_block(tol_cps=100.0, exact_cps=80.0, sensor=PARAMS)
+    assert set(out["primitive_peaks"]) == {
+        "sort_ns_per_elem_per_operand", "scatter_ns_per_update_row",
+        "matmul_f32_highest_tmacs", "hbm_read_gbps",
+    }
+    assert all(v > 0 for v in out["primitive_peaks"].values())
+    for name in ("fused_multi_single_bev", "mark_ground_bitexact",
+                 "mark_ground_tolerance"):
+        row = out["stages"][name]
+        assert row["measured_ms_per_cloud"] > 0
+        assert row["primitive_bound_ms"] > 0
+        assert row["pct_of_primitive_peak"] > 0
+    assert out["kernel_tolerance_ms_per_cloud"] == 10.0
+    assert out["kernel_bitexact_ms_per_cloud"] == 12.5
+    assert abs(
+        out["stage_sum_vs_kernel"]
+        - out["stage_sum_tolerance_ms"] / 10.0
+    ) < 0.01
+
+
 def test_ratio_interval_spans_host_spread():
     """bench._ratio_interval covers the session measurement AND the pinned
     historical host spread (VERDICT r4 item 4)."""
