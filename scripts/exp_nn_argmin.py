@@ -11,9 +11,13 @@ thresholded 1 m pass and the unthresholded fitness pass):
 
   (a) fold the argmin onto the MXU: after the lane-min, the index is
       recovered by a one-hot contraction `indicator @ iota` — a deep
-      K=tt matmul the MXU likes (tie semantics: ties sum indices instead
-      of taking the lowest — measured for SPEED; only adoptable with a
-      first-match mask that costs an extra pass);
+      K=tt matmul the MXU likes.  Two variants: `onehot_mxu` (plain f32
+      iota, default-precision dot — a SPEED probe only: TPU default
+      matmuls round operands to bf16, corrupting indices ≥256, and ties
+      sum indices) and `onehot_exact` (the adoptable form: split 8-bit
+      index encoding exact in bf16, an exact tie-count column, and a
+      rare-tie lane-iota fallback — winner selection matches `prod`
+      index-for-index);
   (b) bf16 prefilter + exact f32 rescore: round 1 closed direct bf16
       scores (±100 m coords → ~0.4 m coordinate error), and round 4
       measured bound-seeding worth <2% (the pass is not bound-limited),
@@ -47,8 +51,21 @@ import bench
 
 
 def main() -> int:
-    bench._wait_for_backend()
+    quick = "--quick" in sys.argv
+    cpu_check = "--cpu-check" in sys.argv
+
     import jax
+
+    if cpu_check:
+        # the JAX_PLATFORMS env var does NOT exclude the axon plugin in
+        # this environment (measured: jax.devices() returns the TPU with
+        # JAX_PLATFORMS=cpu exported) — the config update is the only way
+        # to force CPU, same as tests/conftest.py.  Without it the
+        # "cpu check" silently runs on the chip, where the precision-less
+        # onehot index matmul executes in bf16 and corrupts indices ≥256.
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        bench._wait_for_backend()
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -56,9 +73,6 @@ def main() -> int:
     from pctpu.config import RegistrationConfig
     from pctpu.ops import pallas_knn as PK
     from pctpu.pipelines import registration as R
-
-    quick = "--quick" in sys.argv
-    cpu_check = "--cpu-check" in sys.argv
     reps = 16 if quick else 48
     cfg = RegistrationConfig()
     fine_bucket = 2048 if cpu_check else 49152
@@ -155,6 +169,53 @@ def main() -> int:
                         preferred_element_type=jnp.float32,
                     )[:, 0]
                     local_arg = arg_f.astype(jnp.int32) + jj * tt
+                    local_best = best_col[:, 0] + q2
+                elif mode == "onehot_exact":
+                    # the ADOPTABLE formulation: the index rides the MXU as
+                    # a split 8-bit encoding that is exact in bf16 (TPU
+                    # default-precision matmuls round operands to bf16:
+                    # plain iota corrupts indices ≥256).  ind is 0/1 (bf16-
+                    # exact); B columns are integers ≤255 (bf16-exact);
+                    # products accumulate in f32 with ≤tt terms ≤255 each
+                    # (< 2²⁴, exact integer f32 arithmetic).  Column 2
+                    # counts exact-score ties; any tie falls back to the
+                    # lane-iota min for the whole tile (exact, rare), so
+                    # winner selection matches `prod` index-for-index.
+                    best_col = jnp.min(score, axis=1, keepdims=True)
+                    indicator = score <= best_col
+                    ind_b = indicator.astype(jnp.bfloat16)
+                    r_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (score.shape[1], 128), 0
+                    )
+                    c_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (score.shape[1], 128), 1
+                    )
+                    enc = jnp.where(
+                        c_iota == 0, r_iota // 256,
+                        jnp.where(c_iota == 1, r_iota % 256,
+                                  jnp.where(c_iota == 2, 1, 0)),
+                    ).astype(jnp.bfloat16)
+                    sums = jax.lax.dot_general(
+                        ind_b, enc,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (TQ, 128): col0 = Σ j>>8, col1 = Σ j&255, col2 = n
+                    arg_unique = (
+                        sums[:, 0] * 256.0 + sums[:, 1]
+                    ).astype(jnp.int32)
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, score.shape, 1
+                    )
+
+                    def _tie_arg():
+                        return jnp.min(
+                            jnp.where(indicator, lane, jnp.int32(tt)), axis=1
+                        )
+
+                    local_arg = jax.lax.cond(
+                        jnp.max(sums[:, 2]) > 1.5, _tie_arg,
+                        lambda: arg_unique,
+                    ) + jj * tt
                     local_best = best_col[:, 0] + q2
                 else:
                     raise ValueError(mode)
@@ -292,14 +353,15 @@ def main() -> int:
                 interpret=True, kernel="loop",
             )
             ref_idx, ref_d2 = np.asarray(ref_idx), np.asarray(ref_d2)
-            for mode in ("prod", "explicit2", "onehot_mxu", "bf16"):
+            for mode in ("prod", "explicit2", "onehot_exact",
+                         "onehot_mxu", "bf16"):
                 idx, d2 = nn_variant(
                     q_xyz, q_mask, t_xyz, t_mask, thresholded,
                     256, 1024, mode, interpret=True,
                 )
                 idx, d2 = np.asarray(idx), np.asarray(d2)
                 valid = np.isfinite(ref_d2)
-                if mode in ("prod", "explicit2"):
+                if mode in ("prod", "explicit2", "onehot_exact"):
                     same = np.array_equal(idx[valid], ref_idx[valid]) and \
                         np.array_equal(d2, ref_d2)
                     exact = "exact-match" if same else "MISMATCH"
@@ -336,7 +398,7 @@ def main() -> int:
     )
 
     # (a)+(b): argmin formulations at the production tiles
-    for mode in ("prod", "explicit2", "onehot_mxu", "bf16"):
+    for mode in ("prod", "explicit2", "onehot_exact", "onehot_mxu", "bf16"):
         results[f"{mode}_thr"] = timed(
             lambda q, m=mode: nn_variant(
                 q, q_mask, t_xyz, t_mask, True, 256, 1024, m
