@@ -12,6 +12,24 @@ Layers (see SURVEY.md §7):
   pctpu.cli                     the ten reference-compatible entry points
 """
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    # Honor JAX_PLATFORMS=cpu for real: on this runtime the axon TPU
+    # plugin is selected even with the env var set (measured:
+    # jax.devices() returns the TPU chip under JAX_PLATFORMS=cpu), so
+    # every subprocess that "forces CPU" via the environment — the
+    # reference-parity harness's CLI legs, multi-process workers —
+    # would silently claim the tunneled chip instead.  The config update
+    # is what actually restricts the platform (tests/conftest.py does
+    # the same); it must land before the first backend initialization.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:  # pragma: no cover - backend already initialized
+        pass
+
 from pctpu.cloud import Cloud, make_cloud
 from pctpu.config import (
     GroundConfig,

@@ -73,3 +73,24 @@ def test_batch_cloud_manip_cli_runs(tmp_path):
     )
     assert r.returncode == 1
     assert "Usage: batch_cloud_manip" in r.stdout
+
+
+def test_jax_platforms_cpu_env_is_honored_by_pctpu_import():
+    """On this runtime the axon TPU plugin is selected even when
+    JAX_PLATFORMS=cpu is exported (measured: jax.devices() returns the
+    chip), so every subprocess the harness spawns with the env var alone
+    would silently claim the tunneled TPU.  pctpu/__init__ therefore
+    applies the jax config update when the env var asks for CPU; this
+    pins that an env-forced subprocess that imports pctpu really gets
+    the CPU backend."""
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import pctpu, jax; print('backend:', jax.default_backend())",
+        ],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "backend: cpu" in r.stdout, r.stdout
