@@ -190,10 +190,33 @@ def assert_two_stage_matches(best, fine, ref, cfg_failure_fitness=1.5):
     t_fine = np.asarray(fine.transform)
     d_win = np.abs(t_best - ref["best"]["transform"]).max()
     d_lose = np.abs(t_best - ref["coarse"][1 - ref["best_i"]]["transform"]).max()
-    assert d_win < d_lose, (
-        f"production coarse winner disagrees with the oracle's "
-        f"(d_win={d_win:.4g} vs d_lose={d_lose:.4g})"
-    )
+    # On spurious-correspondence scenes (winner coarse fitness in the
+    # hundreds) the coarse trajectory is CHAOTIC: the f32/MXU stack's
+    # rounding acts as an input perturbation far larger than the oracle's
+    # 1e-6 stability probe, and the two stacks can converge into different
+    # basins entirely (D19; measured at seed 1200029 — production at a
+    # 1e-5-perturbed input reproduces the oracle's basin exactly, and a
+    # 1e-6 perturbation moves production's own fine fitness 27.5 → 61.8).
+    # Fitness values are not comparable across basins, so the per-value
+    # contracts below are gated on basin agreement.
+    same_basin = d_win < 0.5
+    if anchored or same_basin:
+        assert d_win < d_lose, (
+            f"production coarse winner disagrees with the oracle's "
+            f"(d_win={d_win:.4g} vs d_lose={d_lose:.4g})"
+        )
+    else:
+        # basin-diverged degenerate scene: the only cross-stack value
+        # contract left is a sanity net — the production winner must still
+        # be a plausible coarse solution, not a failed search
+        f_ref = max(
+            ref["best"]["fitness"],
+            ref["coarse"][1 - ref["best_i"]]["fitness"],
+        )
+        assert float(best.fitness) <= 4.0 * f_ref, (
+            f"basin-diverged coarse winner fitness {float(best.fitness):.4g} "
+            f"implausibly worse than the oracle pair ({f_ref:.4g})"
+        )
     if anchored:
         np.testing.assert_allclose(
             t_best, ref["best"]["transform"], atol=0.03, rtol=0,
@@ -215,7 +238,7 @@ def assert_two_stage_matches(best, fine, ref, cfg_failure_fitness=1.5):
         )
         assert abs(dxy_p - dxy_r) < 0.02, (dxy_p, dxy_r)
         assert abs(dyaw_p - dyaw_r) < 0.05, (dyaw_p, dyaw_r)
-    else:
+    elif same_basin:
         np.testing.assert_allclose(
             float(fine.fitness), ref["fine"]["fitness"], rtol=0.5,
             err_msg="degenerate-scene fine fitness (order-of-magnitude)",
@@ -299,7 +322,10 @@ def test_whole_registration_matches_composed_oracle(seed):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+# 1200029: round-5 campaign find — a spurious-correspondence scene whose
+# coarse trajectory is chaotic; the stacks converge into different basins
+# and the assert contract's basin gating (D19) is what this seed pins.
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 1200029])
 def test_two_stage_matches_composed_oracle(seed):
     xyz1, lab1, xyz2, lab2, guess, true_yaw = twostage_scene(seed)
     ref, stable = oracle_stable(xyz1, lab1, xyz2, lab2, guess)
