@@ -132,6 +132,20 @@ def main() -> int:
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
+                elif mode == "high3":
+                    # bf16_3x passes — would be the middle of the
+                    # precision-speed curve, but Mosaic's pallas dot
+                    # lowering raises NotImplementedError("Unsupported dot
+                    # precision: HIGH") on this toolchain: in-kernel the
+                    # menu is DEFAULT (bf16) or HIGHEST only.  Kept for
+                    # the record / future toolchains; not in the default
+                    # mode list.
+                    cross = jax.lax.dot_general(
+                        q_ref[:], t_tile,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGH,
+                    )
                 else:
                     cross = jax.lax.dot_general(
                         q_ref[:], t_tile,
@@ -140,7 +154,7 @@ def main() -> int:
                         precision=jax.lax.Precision.HIGHEST,
                     )
                 score = t_tile[3, :][None, :] - 2.0 * cross
-                if mode in ("prod", "bf16"):
+                if mode in ("prod", "bf16", "high3"):
                     local_best = jnp.min(score, axis=1) + q2
                     local_arg = (
                         jnp.argmin(score, axis=1).astype(jnp.int32) + jj * tt
@@ -158,9 +172,11 @@ def main() -> int:
                 elif mode == "onehot_mxu":
                     best_col = jnp.min(score, axis=1, keepdims=True)
                     ind = (score <= best_col).astype(jnp.float32)
+                    # int iota then cast: Mosaic rejects tpu.iota with a
+                    # float result type on the compiled path
                     iota_col = jax.lax.broadcasted_iota(
-                        jnp.float32, (score.shape[1], 128), 0
-                    )
+                        jnp.int32, (score.shape[1], 128), 0
+                    ).astype(jnp.float32)
                     # (TQ, TT) @ (TT, 128) — deep-K MXU contraction; ties
                     # SUM indices (speed probe only; column 0 is the index)
                     arg_f = jax.lax.dot_general(
@@ -398,7 +414,12 @@ def main() -> int:
     )
 
     # (a)+(b): argmin formulations at the production tiles
-    for mode in ("prod", "explicit2", "onehot_exact", "onehot_mxu", "bf16"):
+    # (--modes=a,b reruns a subset; --no-tiles skips the sweep)
+    mode_list = ("prod", "explicit2", "onehot_exact", "onehot_mxu", "bf16")
+    for a in sys.argv:
+        if a.startswith("--modes="):
+            mode_list = tuple(a.split("=", 1)[1].split(","))
+    for mode in mode_list:
         results[f"{mode}_thr"] = timed(
             lambda q, m=mode: nn_variant(
                 q, q_mask, t_xyz, t_mask, True, 256, 1024, m
@@ -417,6 +438,8 @@ def main() -> int:
              (1024, 1024), (1024, 2048), (512, 4096)]
     if quick:
         tiles = tiles[:3]
+    if "--no-tiles" in sys.argv:
+        tiles = []
     for tq, tt in tiles:
         try:
             results[f"tiles_{tq}x{tt}_thr"] = timed(
