@@ -206,8 +206,16 @@ def _stage_coarse(
     t_xyz, t_mask = t_xyz[:bucket], t_mask[:bucket]
     t_nrm, _, n_ok = normals_2d(t_xyz, t_mask, radius=cfg.normal_radius)
     res = _coarse_two_guesses(s_xyz, s_mask, t_xyz, t_mask, t_nrm, n_ok, guesses, cfg)
-    # tie picks the second guess, like the C++ ternary (:464)
-    best_i = jnp.where(res.fitness[0] < res.fitness[1], 0, 1)
+    # tie picks the second guess, like the C++ ternary (:464).  A NaN
+    # fitness ranks WORST (+inf): the f32 stack's bad-guess trajectory can
+    # blow up to NaN on chaotic scenes where the f64 oracle/PCL stays
+    # finite (round-5 fuzz find, seed 1200196 — guess 0 converged at
+    # fitness 0.149 while guess 1 NaN'd, and the raw `<` comparison picked
+    # the NaN side, discarding the correct result).  Mapping NaN to +inf
+    # restores the reference's pick-the-lower-fitness intent in the only
+    # case where the stacks' numeric domains differ.
+    fit = jnp.where(jnp.isnan(res.fitness), jnp.inf, res.fitness)
+    best_i = jnp.where(fit[0] < fit[1], 0, 1)
     return jax.tree.map(lambda a: a[best_i], res)
 
 

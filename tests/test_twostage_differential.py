@@ -325,7 +325,11 @@ def test_whole_registration_matches_composed_oracle(seed):
 # 1200029: round-5 campaign find — a spurious-correspondence scene whose
 # coarse trajectory is chaotic; the stacks converge into different basins
 # and the assert contract's basin gating (D19) is what this seed pins.
-@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 1200029])
+# 1200196: round-5 campaign find — an ANCHORED scene where the bad-guess
+# coarse trajectory NaN'd in f32 and the raw `<` best-of-two comparison
+# picked the NaN side; pins the NaN-ranks-worst selector fix
+# (pipelines/registration.py::_stage_coarse).
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 1200029, 1200196])
 def test_two_stage_matches_composed_oracle(seed):
     xyz1, lab1, xyz2, lab2, guess, true_yaw = twostage_scene(seed)
     ref, stable = oracle_stable(xyz1, lab1, xyz2, lab2, guess)
