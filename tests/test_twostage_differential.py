@@ -231,13 +231,25 @@ def assert_two_stage_matches(best, fine, ref, cfg_failure_fitness=1.5):
             float(fine.fitness), ref["fine"]["fitness"], rtol=5e-2, atol=1e-6,
         )
         # the report arithmetic on both stacks' transforms
-        # (icp_precision_report rows, :512-527)
+        # (icp_precision_report rows, :512-527).  The tolerance is DERIVED
+        # from the measured transform agreement, not fixed: dxy/dyaw are
+        # functions of both transforms, so they legitimately drift by the
+        # (asserted-small) transform deltas — a fixed 0.02 fired on a
+        # weakly-anchored scene whose coarse transform sat at 0.027 of its
+        # allowed 0.03 while fine matched to 1e-6 (campaign seed 1200241).
+        # When the transforms agree to 1e-4 (the common case) the derived
+        # bound is ~3e-4, tighter than the old fixed one.
+        d_fine = np.abs(t_fine - ref["fine"]["transform"]).max()
+        tol_xy = math.sqrt(2.0) * (d_win + d_fine) + 1e-3
+        # yaw = atan2(r10, r00) on near-unit rows: |dyaw_deg| <=
+        # sqrt(2)*entry_delta*(180/pi) ~ 81*delta per transform
+        tol_yaw = 81.0 * (d_win + d_fine) + 0.01
         dxy_p, dyaw_p = _pair_precision(t_best, t_fine)
         dxy_r, dyaw_r = _pair_precision(
             ref["best"]["transform"], ref["fine"]["transform"]
         )
-        assert abs(dxy_p - dxy_r) < 0.02, (dxy_p, dxy_r)
-        assert abs(dyaw_p - dyaw_r) < 0.05, (dyaw_p, dyaw_r)
+        assert abs(dxy_p - dxy_r) < tol_xy, (dxy_p, dxy_r, tol_xy)
+        assert abs(dyaw_p - dyaw_r) < tol_yaw, (dyaw_p, dyaw_r, tol_yaw)
     elif same_basin:
         np.testing.assert_allclose(
             float(fine.fitness), ref["fine"]["fitness"], rtol=0.5,
@@ -329,7 +341,10 @@ def test_whole_registration_matches_composed_oracle(seed):
 # coarse trajectory NaN'd in f32 and the raw `<` best-of-two comparison
 # picked the NaN side; pins the NaN-ranks-worst selector fix
 # (pipelines/registration.py::_stage_coarse).
-@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 1200029, 1200196])
+# 1200241: round-5 campaign find — weakly-anchored scene whose coarse
+# drift (0.027 of the allowed 0.03) exceeded the old FIXED report-delta
+# tolerance; pins the derived (measured-transform-delta) tolerance.
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 1200029, 1200196, 1200241])
 def test_two_stage_matches_composed_oracle(seed):
     xyz1, lab1, xyz2, lab2, guess, true_yaw = twostage_scene(seed)
     ref, stable = oracle_stable(xyz1, lab1, xyz2, lab2, guess)
